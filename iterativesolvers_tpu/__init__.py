@@ -1,0 +1,29 @@
+"""iterativesolvers_tpu — a TPU-native Krylov iterative-solver framework.
+
+Brand-new JAX/XLA/Pallas implementation with the capabilities of
+IterativeSolvers.jl (reference: /root/reference, v0.9.4).  Solvers are pure
+functions compiling to single XLA programs (``lax.while_loop`` drivers), with
+sparse formats and kernels designed for TPU (DIA/ELL/BSR row layouts, fused
+reduction bundles, sharded row-partitioned operators over a device mesh).
+"""
+
+from .operators.linear_operator import (
+    AdjointOperator,
+    FunctionOperator,
+    LinearOperator,
+    MatrixOperator,
+    as_operator,
+)
+from .operators.preconditioners import (
+    DensePreconditioner,
+    DiagonalPreconditioner,
+    FunctionPreconditioner,
+    IdentityPreconditioner,
+    Preconditioner,
+    as_preconditioner,
+)
+from .operators.sparse import CSRMatrix, DIAMatrix, ELLMatrix, csr_from_dense, dia_from_dense
+from .solvers.cg import cg, cg_iterator
+from .utils.history import ConvergenceHistory
+
+__version__ = "0.1.0"

@@ -1,0 +1,283 @@
+"""TPU-first sparse matrix formats.
+
+The reference hand-writes CSC column kernels because Julia stores CSC
+(src/stationary_sparse.jl, rationale docs/src/linear_systems/stationary.md:5-8).
+TPU wants the opposite: contiguous, lane-aligned, row-major access with static
+shapes.  We therefore provide:
+
+  * ``DIAMatrix`` — diagonal (stencil) storage.  SpMV = sum of shifted
+    elementwise products: pure VPU traffic, zero gathers — the speed-of-light
+    format for the Laplace / advection-diffusion benchmark matrices
+    (test/laplace_matrix.jl:1-13, benchmark/advection_diffusion.jl:3-31).
+  * ``ELLMatrix`` — padded fixed-width rows (n, k).  SpMV = one gather +
+    multiply + row-sum; the general-matrix workhorse.
+  * ``CSRMatrix`` — canonical interchange format; SpMV via sorted segment-sum.
+    Construction-side only on the hot path (convert to ELL/DIA for speed).
+
+All classes are pytrees (array leaves, static aux) and LinearOperators.
+Construction happens host-side in numpy; SpMV is jit/pjit-traceable.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .linear_operator import LinearOperator
+
+__all__ = ["CSRMatrix", "ELLMatrix", "DIAMatrix", "csr_from_dense", "dia_from_dense"]
+
+
+@jax.tree_util.register_pytree_node_class
+class CSRMatrix(LinearOperator):
+    """Compressed sparse row.  ``row_ids`` (nnz,) is precomputed so the device
+    SpMV is a sorted segment-sum, with no indptr expansion inside jit."""
+
+    def __init__(self, data, indices, indptr, shape, row_ids=None):
+        self.data = jnp.asarray(data)
+        self.indices = jnp.asarray(indices, dtype=jnp.int32)
+        self.indptr = jnp.asarray(indptr, dtype=jnp.int32)
+        self._shape = (int(shape[0]), int(shape[1]))
+        if row_ids is None:
+            counts = np.diff(np.asarray(indptr).astype(np.int64))
+            row_ids = np.repeat(np.arange(self._shape[0], dtype=np.int32), counts)
+        self.row_ids = jnp.asarray(row_ids, dtype=jnp.int32)
+
+    # -- construction --------------------------------------------------------
+    @classmethod
+    def from_coo(cls, rows, cols, vals, shape):
+        rows = np.asarray(rows, dtype=np.int64)
+        cols = np.asarray(cols, dtype=np.int64)
+        vals = np.asarray(vals)
+        order = np.lexsort((cols, rows))
+        rows, cols, vals = rows[order], cols[order], vals[order]
+        # merge duplicates
+        if rows.size:
+            key_new = np.empty(rows.size, dtype=bool)
+            key_new[0] = True
+            key_new[1:] = (rows[1:] != rows[:-1]) | (cols[1:] != cols[:-1])
+            group = np.cumsum(key_new) - 1
+            merged_vals = np.zeros(int(group[-1]) + 1, dtype=vals.dtype)
+            np.add.at(merged_vals, group, vals)
+            rows, cols, vals = rows[key_new], cols[key_new], merged_vals
+        indptr = np.zeros(shape[0] + 1, dtype=np.int64)
+        np.add.at(indptr, rows + 1, 1)
+        indptr = np.cumsum(indptr)
+        return cls(vals, cols, indptr, shape)
+
+    @property
+    def shape(self):
+        return self._shape
+
+    @property
+    def dtype(self):
+        return self.data.dtype
+
+    @property
+    def nnz(self):
+        return int(self.data.shape[0])
+
+    def mv(self, x):
+        vals = self.data * x[self.indices]
+        return jax.ops.segment_sum(
+            vals, self.row_ids, num_segments=self._shape[0], indices_are_sorted=True
+        )
+
+    def rmv(self, x):
+        # A^H x via scatter-add onto column ids (no transposed copy needed).
+        vals = jnp.conj(self.data) * x[self.row_ids]
+        return jax.ops.segment_sum(vals, self.indices, num_segments=self._shape[1])
+
+    def to_dense(self):
+        out = jnp.zeros(self._shape, dtype=self.dtype)
+        return out.at[self.row_ids, self.indices].add(self.data)
+
+    def to_ell(self, row_width: int | None = None) -> "ELLMatrix":
+        indptr = np.asarray(self.indptr)
+        counts = np.diff(indptr)
+        k = int(counts.max()) if row_width is None else int(row_width)
+        k = max(k, 1)
+        n = self._shape[0]
+        data = np.zeros((n, k), dtype=np.asarray(self.data).dtype)
+        cols = np.zeros((n, k), dtype=np.int32)
+        host_data = np.asarray(self.data)
+        host_idx = np.asarray(self.indices)
+        for i in range(n):
+            lo, hi = indptr[i], indptr[i + 1]
+            w = min(hi - lo, k)
+            data[i, :w] = host_data[lo : lo + w]
+            cols[i, :w] = host_idx[lo : lo + w]
+        return ELLMatrix(data, cols, self._shape)
+
+    def to_dia(self) -> "DIAMatrix":
+        rows = np.asarray(self.row_ids, dtype=np.int64)
+        cols = np.asarray(self.indices, dtype=np.int64)
+        vals = np.asarray(self.data)
+        offsets = np.unique(cols - rows)
+        n = self._shape[0]
+        data = np.zeros((offsets.size, n), dtype=vals.dtype)
+        off_pos = {int(o): i for i, o in enumerate(offsets)}
+        for r, c, v in zip(rows, cols, vals):
+            data[off_pos[int(c - r)], r] = v
+        return DIAMatrix(data, tuple(int(o) for o in offsets), self._shape)
+
+    def diagonal(self):
+        """Main diagonal as a dense vector (raises if a diagonal entry is
+        structurally absent — mirrors DiagonalIndices' SingularException check,
+        src/stationary_sparse.jl:18-20, checked at the call site)."""
+        rows = np.asarray(self.row_ids)
+        cols = np.asarray(self.indices)
+        mask = rows == cols
+        d = np.zeros(min(self._shape), dtype=np.asarray(self.data).dtype)
+        present = np.zeros(min(self._shape), dtype=bool)
+        d[rows[mask]] = np.asarray(self.data)[mask]
+        present[rows[mask]] = True
+        return d, present
+
+    def tree_flatten(self):
+        return (self.data, self.indices, self.indptr, self.row_ids), self._shape
+
+    @classmethod
+    def tree_unflatten(cls, aux, leaves):
+        data, indices, indptr, row_ids = leaves
+        obj = object.__new__(cls)
+        obj.data, obj.indices, obj.indptr, obj.row_ids = data, indices, indptr, row_ids
+        obj._shape = aux
+        return obj
+
+
+@jax.tree_util.register_pytree_node_class
+class ELLMatrix(LinearOperator):
+    """Padded fixed-width-row format: ``data``/``cols`` are (n, k); padding has
+    ``cols = 0, data = 0`` so the gather stays in-bounds and contributes 0."""
+
+    def __init__(self, data, cols, shape):
+        self.data = jnp.asarray(data)
+        self.cols = jnp.asarray(cols, dtype=jnp.int32)
+        self._shape = (int(shape[0]), int(shape[1]))
+
+    @property
+    def shape(self):
+        return self._shape
+
+    @property
+    def dtype(self):
+        return self.data.dtype
+
+    @property
+    def row_width(self):
+        return int(self.data.shape[1])
+
+    def mv(self, x):
+        return jnp.sum(self.data * x[self.cols], axis=1)
+
+    def rmv(self, x):
+        vals = (jnp.conj(self.data) * x[:, None]).ravel()
+        return jax.ops.segment_sum(
+            vals, self.cols.ravel(), num_segments=self._shape[1]
+        )
+
+    def to_dense(self):
+        out = jnp.zeros(self._shape, dtype=self.dtype)
+        rows = jnp.broadcast_to(
+            jnp.arange(self._shape[0])[:, None], self.cols.shape
+        )
+        return out.at[rows, self.cols].add(self.data)
+
+    def tree_flatten(self):
+        return (self.data, self.cols), self._shape
+
+    @classmethod
+    def tree_unflatten(cls, aux, leaves):
+        obj = object.__new__(cls)
+        obj.data, obj.cols = leaves
+        obj._shape = aux
+        return obj
+
+
+@jax.tree_util.register_pytree_node_class
+class DIAMatrix(LinearOperator):
+    """Diagonal storage: ``data[k, i] = A[i, i + offsets[k]]`` (0 where the
+    column index falls outside the matrix).  ``offsets`` is static, so the
+    SpMV unrolls into `ndiag` shifted multiply-adds that XLA fuses into a
+    single VPU pass — no gathers, pure streaming HBM traffic."""
+
+    def __init__(self, data, offsets: Tuple[int, ...], shape):
+        self.data = jnp.asarray(data)
+        self.offsets = tuple(int(o) for o in offsets)
+        self._shape = (int(shape[0]), int(shape[1]))
+
+    @property
+    def shape(self):
+        return self._shape
+
+    @property
+    def dtype(self):
+        return self.data.dtype
+
+    def mv(self, x):
+        n, m = self._shape
+        pad = max(max((abs(o) for o in self.offsets), default=0), 1)
+        xp = jnp.pad(x, (pad, pad + max(n - m, 0)))
+        y = jnp.zeros(n, dtype=jnp.result_type(self.dtype, x.dtype))
+        for k, off in enumerate(self.offsets):
+            # row i reads x[i + off]  ->  slice xp starting at pad + off
+            y = y + self.data[k] * jax.lax.dynamic_slice(xp, (pad + off,), (n,))
+        return y
+
+    def rmv(self, x):
+        n, m = self._shape
+        pad = max(max((abs(o) for o in self.offsets), default=0), 1)
+        y = jnp.zeros(
+            m + 2 * pad + max(n - m, 0), dtype=jnp.result_type(self.dtype, x.dtype)
+        )
+        for k, off in enumerate(self.offsets):
+            # (A^H x)[i + off] += conj(data[k, i]) * x[i]
+            contrib = jnp.conj(self.data[k]) * x
+            y = jax.lax.dynamic_update_slice(
+                y, jax.lax.dynamic_slice(y, (pad + off,), (n,)) + contrib, (pad + off,)
+            )
+        return y[pad : pad + m]
+
+    def to_dense(self):
+        n, m = self._shape
+        out = jnp.zeros(self._shape, dtype=self.dtype)
+        rows = jnp.arange(n)
+        for k, off in enumerate(self.offsets):
+            cols = rows + off
+            valid = (cols >= 0) & (cols < m)
+            out = out.at[rows, jnp.clip(cols, 0, m - 1)].add(
+                jnp.where(valid, self.data[k], 0)
+            )
+        return out
+
+    def diagonal(self):
+        if 0 not in self.offsets:
+            d = np.zeros(min(self._shape), dtype=np.asarray(self.data).dtype)
+            return d, np.zeros(min(self._shape), dtype=bool)
+        k = self.offsets.index(0)
+        d = np.asarray(self.data[k])[: min(self._shape)]
+        return d, np.ones(min(self._shape), dtype=bool)
+
+    def tree_flatten(self):
+        return (self.data,), (self.offsets, self._shape)
+
+    @classmethod
+    def tree_unflatten(cls, aux, leaves):
+        obj = object.__new__(cls)
+        (obj.data,) = leaves
+        obj.offsets, obj._shape = aux
+        return obj
+
+
+def csr_from_dense(mat, tol: float = 0.0) -> CSRMatrix:
+    mat = np.asarray(mat)
+    rows, cols = np.nonzero(np.abs(mat) > tol)
+    return CSRMatrix.from_coo(rows, cols, mat[rows, cols], mat.shape)
+
+
+def dia_from_dense(mat) -> DIAMatrix:
+    return csr_from_dense(mat).to_dia()

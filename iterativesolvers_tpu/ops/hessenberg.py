@@ -1,0 +1,76 @@
+"""Hessenberg least-squares via Givens QR.
+
+Functional analogue of ``FastHessenberg`` / ``ldiv!`` (src/hessenberg.jl:4-46):
+solve ``min |H y - rhs|`` for an (m+1) x m Hessenberg H, leaving the residual
+norm as ``|rhs[m]|`` after rotation.  Shapes are static (m = restart window);
+the *active* column count ``k`` may be traced — unused columns of H must be
+zero (GMRES keeps its H buffer zero-initialized), so rotations computed for
+them are identities and the back-substitution is masked.
+
+All O(m^2) scalar work; stays replicated and off the sharded data path.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from .givens import apply_givens, givens
+
+__all__ = ["hessenberg_lstsq", "back_substitute"]
+
+
+def back_substitute(R, g, k=None):
+    """Solve R[:k,:k] y = g[:k] for upper-triangular R (m x m, zero-padded
+    beyond k).  Returns y of static length m with zeros beyond k."""
+    m = R.shape[1]
+    if k is None:
+        k = m
+    y0 = jnp.zeros(m, dtype=jnp.result_type(R.dtype, g.dtype))
+
+    def body(i_rev, y):
+        i = m - 1 - i_rev
+        active = i < k
+        num = g[i] - jnp.dot(R[i], y)
+        den = jnp.where(active, R[i, i], 1)
+        yi = jnp.where(active, num / den, 0)
+        return y.at[i].set(yi)
+
+    return jax.lax.fori_loop(0, m, body, y0)
+
+
+def hessenberg_lstsq(H, rhs, k=None):
+    """min |H[:k+1,:k] y - rhs[:k+1]|.
+
+    H: (m+1, m) Hessenberg with columns >= k zero.  rhs: (m+1,).
+    Returns (y, residual) where y has static length m (zeros beyond k) and
+    residual = |rotated rhs[k]| (the reference leaves it in rhs[end],
+    src/hessenberg.jl:40-46).
+    """
+    m = H.shape[1]
+    if k is None:
+        k = m
+
+    def qr_col(carry, j):
+        R, g = carry
+        col = R[:, j]
+
+        # zero sub-diagonal entry j+1 of column j with one new rotation;
+        # previous rotations were already applied column-by-column below.
+        c, s, r = givens(col[j], col[j + 1])
+        col = col.at[j].set(r).at[j + 1].set(0)
+        R = R.at[:, j].set(col)
+        gj, gj1 = apply_givens(c, s, g[j], g[j + 1])
+        g = g.at[j].set(gj).at[j + 1].set(gj1)
+
+        # apply this rotation to the remaining columns' rows (j, j+1)
+        rowj, rowj1 = apply_givens(c, s, R[j, :], R[j + 1, :])
+        mask = jnp.arange(m) > j
+        R = R.at[j, :].set(jnp.where(mask, rowj, R[j, :]))
+        R = R.at[j + 1, :].set(jnp.where(mask, rowj1, R[j + 1, :]))
+        return (R, g), None
+
+    (R, g), _ = jax.lax.scan(qr_col, (H, rhs), jnp.arange(m))
+    y = back_substitute(R[:m, :], g[:m], k)
+    residual = jnp.abs(g[jnp.minimum(k, m)])
+    return y, residual

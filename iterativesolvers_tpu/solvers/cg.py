@@ -1,0 +1,179 @@
+"""Conjugate Gradient (CG / PCG).
+
+TPU-native re-design of the reference ``src/cg.jl``: the mutable
+``CGIterable``/``PCGIterable`` (src/cg.jl:5-36) become an immutable state
+pytree advanced by a pure step inside ``lax.while_loop``.  Numerics mirror the
+reference exactly (src/cg.jl:43-96):
+
+    c = Pl^{-1} r                  (identity Pl: c = r, so the PCG recurrence
+    rho = <c, r>                    reduces to the plain CG one, src/cg.jl:50-51)
+    beta = rho / rho_prev
+    u = c + beta * u
+    c = A u                        <- the SpMV
+    alpha = rho / <u, c>
+    x += alpha u;  r -= alpha c
+    residual = |r|
+
+Per iteration: 1 SpMV + 2 global reductions (<u,c> and |r|; +1 for <c,r> when
+preconditioned) — on a sharded mesh these become psum allreduces.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..operators.linear_operator import as_operator
+from ..operators.preconditioners import as_preconditioner, is_identity
+from ..utils.dtypes import real_dtype, solve_dtype
+from .common import SolveResult, SolverIterator, make_history, norm, resolve_tols, tolerance, vdot
+
+__all__ = ["cg", "cg_iterator", "CGState"]
+
+
+class CGState(NamedTuple):
+    x: jax.Array
+    r: jax.Array
+    u: jax.Array
+    residual: jax.Array     # |r| (real)
+    rho: jax.Array          # <Pl^{-1} r, r> of previous iteration
+    k: jax.Array            # iteration counter (int32)
+    tol: jax.Array
+    resnorm_log: jax.Array  # (maxiter,) real
+
+
+def _cg_init(op, b, x0, reltol, abstol, maxiter, initially_zero):
+    dtype = solve_dtype(op.dtype, b.dtype)
+    x = x0.astype(dtype)
+    r = b.astype(dtype) if initially_zero else b.astype(dtype) - op.mv(x)
+    residual = norm(r)
+    tol = tolerance(residual, reltol, abstol)
+    return CGState(
+        x=x,
+        r=r,
+        u=jnp.zeros_like(x),
+        residual=residual,
+        rho=jnp.ones((), dtype=dtype),
+        k=jnp.zeros((), jnp.int32),
+        tol=tol,
+        # max(maxiter, 1): a zero-size buffer breaks the (never-executed)
+        # scatter trace when maxiter=0
+        resnorm_log=jnp.zeros((max(maxiter, 1),), dtype=real_dtype(dtype)),
+    )
+
+
+def _cg_step(op, Pl, state: CGState, verbose: bool = False) -> CGState:
+    c = Pl.ldiv(state.r)
+    rho = vdot(c, state.r)
+    beta = rho / state.rho
+    u = c + beta * state.u
+    c = op.mv(u)
+    alpha = rho / vdot(u, c)
+    x = state.x + alpha * u
+    r = state.r - alpha * c
+    residual = norm(r)
+    if verbose:
+        jax.debug.print("{k:3d}\t{res:.2e}", k=state.k + 1, res=residual)
+    return CGState(
+        x=x,
+        r=r,
+        u=u,
+        residual=residual,
+        rho=rho,
+        k=state.k + 1,
+        tol=state.tol,
+        resnorm_log=state.resnorm_log.at[state.k].set(residual),
+    )
+
+
+def _cg_done(state: CGState, maxiter: int):
+    return (state.k >= maxiter) | (state.residual <= state.tol)
+
+
+@partial(jax.jit, static_argnames=("maxiter", "initially_zero", "verbose"))
+def _cg_solve(op, b, x0, Pl, reltol, abstol, maxiter, initially_zero, verbose):
+    state0 = _cg_init(op, b, x0, reltol, abstol, maxiter, initially_zero)
+    final = jax.lax.while_loop(
+        lambda s: ~_cg_done(s, maxiter),
+        lambda s: _cg_step(op, Pl, s, verbose),
+        state0,
+    )
+    return SolveResult(
+        x=final.x,
+        iters=final.k,
+        converged=final.residual <= final.tol,
+        resnorm=final.residual,
+        log={"resnorm": (final.resnorm_log, final.k)},
+    )
+
+
+def cg(
+    A,
+    b,
+    *,
+    x0=None,
+    Pl=None,
+    abstol: float | None = None,
+    reltol: float | None = None,
+    maxiter: int | None = None,
+    log: bool = False,
+    verbose: bool = False,
+):
+    """Solve A x = b with (preconditioned) conjugate gradients.
+
+    Mirrors ``cg`` / ``cg!`` (src/cg.jl:162,209-242): pass ``x0`` for the
+    in-place form's warm start; returns ``x`` or ``(x, ConvergenceHistory)``
+    when ``log=True``.
+    """
+    op = as_operator(A, b)
+    Pl = as_preconditioner(Pl)
+    b = jnp.asarray(b)
+    maxiter = int(maxiter if maxiter is not None else op.shape[1])
+    initially_zero = x0 is None
+    if x0 is None:
+        x0 = jnp.zeros(op.shape[1], dtype=solve_dtype(op.dtype, b.dtype))
+    reltol_, abstol_ = resolve_tols(solve_dtype(op.dtype, b.dtype), reltol, abstol)
+    res = _cg_solve(
+        op, b, jnp.asarray(x0), Pl, reltol_, abstol_, maxiter, initially_zero, verbose
+    )
+    if not log:
+        return res.x
+    history = make_history(
+        res, mv_per_iter=1.0, mv_initial=0 if initially_zero else 1
+    )
+    history["abstol"] = float(abstol_)
+    history["reltol"] = float(reltol_)
+    return res.x, history
+
+
+def cg_iterator(
+    A,
+    b,
+    *,
+    x0=None,
+    Pl=None,
+    abstol: float | None = None,
+    reltol: float | None = None,
+    maxiter: int | None = None,
+) -> SolverIterator:
+    """Eager CG iterator (~ ``cg_iterator!``, src/cg.jl:120-155): yields the
+    residual norm each step; ``.state`` is inspectable/replaceable between
+    steps and serves as a checkpoint."""
+    op = as_operator(A, b)
+    Pl = as_preconditioner(Pl)
+    b = jnp.asarray(b)
+    maxiter = int(maxiter if maxiter is not None else op.shape[1])
+    initially_zero = x0 is None
+    if x0 is None:
+        x0 = jnp.zeros(op.shape[1], dtype=solve_dtype(op.dtype, b.dtype))
+    reltol_, abstol_ = resolve_tols(solve_dtype(op.dtype, b.dtype), reltol, abstol)
+    state0 = _cg_init(op, b, jnp.asarray(x0), reltol_, abstol_, maxiter, initially_zero)
+    return SolverIterator(
+        state0,
+        step=lambda s: _cg_step(op, Pl, s),
+        done=lambda s: _cg_done(s, maxiter),
+        extract=lambda s: s.residual,
+    )

@@ -1,0 +1,133 @@
+"""Solver driver protocol.
+
+The reference drives mutable ``*Iterable`` structs with ``Base.iterate``
+(docs/src/iterators.md).  The TPU-native design is functional: each solver
+defines an immutable state pytree, an ``init`` and a ``step``; the classic API
+compiles ``lax.while_loop(cond, step, init)`` in one ``jit``, and the iterator
+API exposes the same ``step`` eagerly for the reference's hold/step/resume
+use-cases (the state pytree doubles as a checkpoint).
+
+Shared behavioral contract (SURVEY §2.3):
+  * stopping: ``resnorm <= max(reltol * resnorm0, abstol)``
+    with defaults ``reltol = sqrt(eps(real(T)))``, ``abstol = 0``
+    (src/cg.jl:121-122,141)
+  * ``maxiter = size(A, 2)`` default (src/cg.jl:123)
+  * allocating form starts from x0 = 0 and skips the initial A*x product
+    (``initially_zero``, src/cg.jl:132-139)
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..utils.dtypes import default_reltol, real_dtype
+from ..utils.history import ConvergenceHistory
+
+__all__ = [
+    "SolveResult",
+    "tolerance",
+    "norm",
+    "vdot",
+    "SolverIterator",
+    "resolve_tols",
+]
+
+
+def norm(x):
+    """2-norm, always real.  (Complex-safe: sums |x|^2.)"""
+    xr = jnp.real(x * jnp.conj(x)) if jnp.iscomplexobj(x) else x * x
+    return jnp.sqrt(jnp.sum(xr))
+
+
+def vdot(a, b):
+    """<a, b> with the first argument conjugated (Julia ``dot`` semantics)."""
+    return jnp.sum(jnp.conj(a) * b)
+
+
+def tolerance(resnorm0, reltol, abstol):
+    """max(reltol*|r0|, abstol) — src/cg.jl:141."""
+    return jnp.maximum(reltol * resnorm0, abstol)
+
+
+def resolve_tols(dtype, reltol: Optional[float], abstol: Optional[float]):
+    if reltol is None:
+        reltol = default_reltol(dtype)
+    if abstol is None:
+        abstol = 0.0
+    rt = real_dtype(dtype)
+    return jnp.asarray(reltol, rt), jnp.asarray(abstol, rt)
+
+
+class SolveResult(NamedTuple):
+    """Uniform device-side result every solver returns from its jitted core."""
+
+    x: Any                  # solution (vector / matrix)
+    iters: Any              # int32 — iterations performed
+    converged: Any          # bool
+    resnorm: Any            # final residual norm estimate
+    log: dict               # name -> (buffer, nvalid) fixed-size series
+
+
+def make_history(
+    res: SolveResult,
+    *,
+    mv_per_iter: float = 1.0,
+    mv_initial: int = 1,
+    mtv_per_iter: float = 0.0,
+    restart: Optional[int] = None,
+    partial: bool = False,
+    extra_counters: Optional[dict] = None,
+) -> ConvergenceHistory:
+    """Materialize a host ConvergenceHistory from device buffers."""
+    h = ConvergenceHistory(partial=partial, restart=restart)
+    iters = int(res.iters)
+    h.iters = iters
+    h.isconverged = bool(res.converged)
+    h.mvps = int(round(mv_initial + mv_per_iter * iters))
+    h.mtvps = int(round(mtv_per_iter * iters))
+    if extra_counters:
+        for k, v in extra_counters.items():
+            setattr(h, k, int(v))
+    for key, (buf, nvalid) in res.log.items():
+        h.set_series(key, buf, int(nvalid))
+    return h
+
+
+class SolverIterator:
+    """Eager iterator over a solver's functional step — the analogue of the
+    reference's iterator protocol (docs/src/iterators.md:1-77).
+
+    Yields a per-iteration value (typically the residual norm).  The caller
+    may inspect/replace ``.state`` between steps (e.g. swap the RHS), exactly
+    like mutating the reference's iterable struct.
+    """
+
+    def __init__(
+        self,
+        state,
+        step: Callable,
+        done: Callable,
+        extract: Callable = lambda s: s,
+        jit: bool = True,
+    ):
+        self.state = state
+        self._step = jax.jit(step) if jit else step
+        self._done = done
+        self._extract = extract
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        if bool(self._done(self.state)):
+            raise StopIteration
+        self.state = self._step(self.state)
+        return self._extract(self.state)
+
+    @property
+    def x(self):
+        return self.state.x

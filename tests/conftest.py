@@ -1,0 +1,31 @@
+"""Test configuration.
+
+Tests run on CPU with 8 virtual devices (the JAX way to test sharding without
+a pod — SURVEY §4) and with x64 enabled, since the reference test suite is
+largely Float64/ComplexF64.  Real-TPU behavior is exercised by bench.py and
+the driver's compile checks.
+"""
+
+import os
+
+# The container's sitecustomize registers the axon TPU plugin at interpreter
+# startup, so plain env vars are too late; jax.config still works as long as
+# no backend has been initialized yet.
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(1234)

@@ -1,0 +1,123 @@
+"""GMRES tests (~ test/gmres.jl)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from iterativesolvers_tpu import DensePreconditioner, FunctionOperator
+from iterativesolvers_tpu.solvers.gmres import gmres
+from iterativesolvers_tpu.utils.fixtures import random_sparse
+
+DTYPES = [np.float32, np.float64, np.complex64, np.complex128]
+
+
+def rtol_for(dtype):
+    return float(np.sqrt(np.finfo(np.zeros((), dtype).real.dtype).eps))
+
+
+def general_matrix(rng, n, dtype):
+    a = rng.random((n, n))
+    if np.issubdtype(dtype, np.complexfloating):
+        a = a + 1j * rng.random((n, n))
+    return a.astype(dtype) + np.eye(n, dtype=dtype)
+
+
+@pytest.mark.parametrize("dtype", DTYPES)
+def test_residual_non_increasing(rng, dtype):
+    n = 10
+    A = general_matrix(rng, n, dtype)
+    b = rng.random(n).astype(dtype)
+    x, h = gmres(A, b, log=True, restart=3, maxiter=10, reltol=rtol_for(dtype))
+    res = h["resnorm"]
+    assert np.all(np.diff(res) <= 1e-6 * res[:-1] + 1e-30)
+
+
+@pytest.mark.parametrize("dtype", [np.float64, np.complex128])
+def test_left_exact_preconditioner(rng, dtype):
+    n = 10
+    A = general_matrix(rng, n, dtype)
+    b = rng.random(n).astype(dtype)
+    reltol = rtol_for(dtype)
+    F = DensePreconditioner(jnp.asarray(A))
+    x, h = gmres(A, b, Pl=F, maxiter=1, restart=1, reltol=reltol, log=True)
+    assert h.isconverged
+    precond_res = np.linalg.solve(A, A @ np.asarray(x) - b)
+    assert np.linalg.norm(precond_res) / np.linalg.norm(b) <= reltol
+
+
+@pytest.mark.parametrize("dtype", [np.float64, np.complex128])
+def test_right_exact_preconditioner(rng, dtype):
+    n = 10
+    A = general_matrix(rng, n, dtype)
+    b = rng.random(n).astype(dtype)
+    reltol = rtol_for(dtype)
+    F = DensePreconditioner(jnp.asarray(A))
+    x, h = gmres(A, b, Pr=F, maxiter=1, restart=1, reltol=reltol, log=True)
+    assert h.isconverged
+    assert np.linalg.norm(A @ np.asarray(x) - b) / np.linalg.norm(b) <= reltol
+
+
+def test_sparse_csr(rng):
+    n = 10
+    A = random_sparse(n, n, 0.5, seed=7, shift=1.0)
+    b = rng.random(n)
+    x, h = gmres(A, b, log=True, restart=3, maxiter=50)
+    dense = np.asarray(A.to_dense())
+    assert np.all(np.diff(h["resnorm"]) <= 1e-10)
+
+
+def test_matrix_free_cumsum():
+    """GMRES on the cumsum operator (~ test/gmres.jl:59-66)."""
+    n = 100
+    op = FunctionOperator(lambda v: jnp.cumsum(v), (n, n), np.float64)
+    rng = np.random.default_rng(5)
+    b = rng.random(n)
+    x = gmres(op, b, reltol=1e-5, maxiter=2000)
+    res = np.linalg.norm(np.cumsum(np.asarray(x)) - b) / np.linalg.norm(b)
+    assert res <= 1e-5
+
+
+def test_identity_matrix_happy_breakdown():
+    """Hessenberg off-diagonal exactly zero (~ test/gmres.jl:68-73)."""
+    A = np.eye(2)
+    b = np.array([1.0, 2.2])
+    x = gmres(A, b)
+    np.testing.assert_allclose(np.asarray(x), b, rtol=1e-14)
+
+
+@pytest.mark.parametrize("dtype", [np.float32, np.float64, np.complex128])
+def test_termination_criteria(dtype):
+    A = np.array([[2, -1, 0], [-1, 2, -1], [0, -1, 2]], dtype=dtype)
+    n = 3
+    b = np.ones(n, dtype=dtype)
+    x0 = np.linalg.solve(A, b)
+    eps = np.finfo(np.zeros((), dtype).real.dtype).eps
+    perturb = 10 * np.sqrt(eps) * np.array([(-1) ** i for i in range(1, n + 1)]).astype(dtype)
+
+    x = x0 + perturb
+    _, ch = gmres(A, b, x0=jnp.asarray(x), log=True)
+    assert 1 <= ch.iters <= n + 1
+
+    x = x0 + perturb
+    r0 = np.linalg.norm(A @ x - b)
+    _, ch = gmres(A, b, x0=jnp.asarray(x), abstol=2 * r0, reltol=0.0, log=True)
+    assert ch.iters == 0
+
+
+@pytest.mark.parametrize("orth", ["mgs", "cgs", "dgks"])
+def test_orth_methods_agree(rng, orth):
+    n = 20
+    A = general_matrix(rng, n, np.float64)
+    b = rng.random(n)
+    x = gmres(A, b, orth_method=orth, reltol=1e-10, maxiter=100)
+    assert np.linalg.norm(A @ np.asarray(x) - b) / np.linalg.norm(b) <= 1e-9
+
+
+def test_restarted_converges(rng):
+    n = 50
+    A = general_matrix(rng, n, np.float64) + 5 * np.eye(n)
+    b = rng.random(n)
+    x, h = gmres(A, b, restart=5, maxiter=500, reltol=1e-8, log=True)
+    assert h.isconverged
+    assert h.restarts >= 1
+    assert np.linalg.norm(A @ np.asarray(x) - b) / np.linalg.norm(b) <= 1e-7

@@ -1,0 +1,110 @@
+"""Sparse format kernels: mv/rmv vs dense ground truth (~ test/stationary.jl's
+kernel-level unit tests, SURVEY §4.7)."""
+
+import numpy as np
+import pytest
+
+from iterativesolvers_tpu import CSRMatrix, csr_from_dense
+from iterativesolvers_tpu.utils.fixtures import (
+    advection_diffusion,
+    laplace_dia,
+    random_sparse,
+    sym_tridiagonal_dia,
+)
+
+DTYPES = [np.float32, np.float64, np.complex64, np.complex128]
+
+
+def dense_random(rng, n, m, dtype):
+    a = rng.standard_normal((n, m))
+    if np.issubdtype(dtype, np.complexfloating):
+        a = a + 1j * rng.standard_normal((n, m))
+    a[np.abs(a) < 0.7] = 0  # sparsify
+    return a.astype(dtype)
+
+
+@pytest.mark.parametrize("dtype", DTYPES)
+@pytest.mark.parametrize("shape", [(13, 13), (17, 9), (9, 17)])
+def test_csr_mv_rmv(rng, dtype, shape):
+    n, m = shape
+    dense = dense_random(rng, n, m, dtype)
+    A = csr_from_dense(dense)
+    x = rng.standard_normal(m).astype(dtype)
+    y = rng.standard_normal(n).astype(dtype)
+    rtol = 1e-5 if np.dtype(dtype).itemsize <= 8 else 1e-12
+    np.testing.assert_allclose(np.asarray(A.mv(x)), dense @ x, rtol=rtol, atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(A.rmv(y)), dense.conj().T @ y, rtol=rtol, atol=1e-5
+    )
+    np.testing.assert_allclose(np.asarray(A.to_dense()), dense, rtol=rtol)
+
+
+@pytest.mark.parametrize("dtype", [np.float64, np.complex128])
+def test_ell_and_dia_roundtrip(rng, dtype):
+    dense = dense_random(rng, 15, 15, dtype)
+    csr = csr_from_dense(dense)
+    ell = csr.to_ell()
+    dia = csr.to_dia()
+    x = rng.standard_normal(15).astype(dtype)
+    for A in (ell, dia):
+        np.testing.assert_allclose(np.asarray(A.mv(x)), dense @ x, rtol=1e-12)
+        np.testing.assert_allclose(
+            np.asarray(A.rmv(x)), dense.conj().T @ x, rtol=1e-12
+        )
+        np.testing.assert_allclose(np.asarray(A.to_dense()), dense, rtol=1e-12)
+
+
+def test_csr_from_coo_merges_duplicates():
+    A = CSRMatrix.from_coo([0, 0, 1], [1, 1, 0], [2.0, 3.0, 4.0], (2, 2))
+    expected = np.array([[0, 5.0], [4.0, 0]])
+    np.testing.assert_allclose(np.asarray(A.to_dense()), expected)
+    assert A.nnz == 2
+
+
+def test_laplace_dia_matches_kron():
+    n, dims = 4, 2
+    D = np.diag(np.full(n, 2.0)) + np.diag(np.full(n - 1, -1.0), 1) + np.diag(
+        np.full(n - 1, -1.0), -1
+    )
+    I = np.eye(n)
+    expected = np.kron(D, I) + np.kron(I, D)  # kron-sum (test/laplace_matrix.jl)
+    A = laplace_dia(n, dims)
+    np.testing.assert_allclose(np.asarray(A.to_dense()), expected)
+
+
+def test_laplace_dia_3d_row_sums():
+    A = laplace_dia(3, 3)
+    dense = np.asarray(A.to_dense())
+    np.testing.assert_allclose(dense, dense.T)
+    # interior rows sum to 0, diagonal is 2*dims
+    assert np.allclose(np.diag(dense), 6.0)
+
+
+def test_sym_tridiagonal():
+    A = sym_tridiagonal_dia(2.1, -1.0, 5)
+    dense = np.asarray(A.to_dense())
+    expected = (
+        np.diag(np.full(5, 2.1))
+        + np.diag(np.full(4, -1.0), 1)
+        + np.diag(np.full(4, -1.0), -1)
+    )
+    np.testing.assert_allclose(dense, expected)
+
+
+def test_advection_diffusion_structure():
+    A, b = advection_diffusion(N=4)
+    assert A.shape == (64, 64)
+    assert b.shape == (64,)
+    dense = np.asarray(A.to_dense())
+    # nonsymmetric due to advection
+    assert not np.allclose(dense, dense.T)
+    assert np.all(b > 0)
+
+
+def test_random_sparse_shapes(rng):
+    A = random_sparse(50, 30, 0.05, seed=3)
+    assert A.shape == (50, 30)
+    x = rng.standard_normal(30)
+    np.testing.assert_allclose(
+        np.asarray(A.mv(x)), np.asarray(A.to_dense()) @ x, rtol=1e-12
+    )

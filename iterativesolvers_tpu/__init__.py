@@ -23,7 +23,13 @@ from .operators.preconditioners import (
     as_preconditioner,
 )
 from .operators.sparse import CSRMatrix, DIAMatrix, ELLMatrix, csr_from_dense, dia_from_dense
+from .solvers.bicgstabl import bicgstabl
 from .solvers.cg import cg, cg_iterator
+from .solvers.chebyshev import chebyshev
+from .solvers.gmres import gmres
+from .solvers.idrs import idrs
+from .solvers.minres import minres, minres_iterator
+from .solvers.qmr import qmr
 from .utils.history import ConvergenceHistory
 
 __version__ = "0.1.0"

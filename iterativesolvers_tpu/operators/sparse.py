@@ -187,6 +187,14 @@ class ELLMatrix(LinearOperator):
         )
         return out.at[rows, self.cols].add(self.data)
 
+    def to_csr(self) -> "CSRMatrix":
+        data = np.asarray(self.data)
+        cols = np.asarray(self.cols)
+        n = self._shape[0]
+        rows = np.broadcast_to(np.arange(n)[:, None], cols.shape)
+        mask = data != 0
+        return CSRMatrix.from_coo(rows[mask], cols[mask], data[mask], self._shape)
+
     def tree_flatten(self):
         return (self.data, self.cols), self._shape
 
@@ -253,6 +261,22 @@ class DIAMatrix(LinearOperator):
                 jnp.where(valid, self.data[k], 0)
             )
         return out
+
+    def to_csr(self) -> "CSRMatrix":
+        n, m = self._shape
+        data = np.asarray(self.data)
+        all_rows, all_cols, all_vals = [], [], []
+        i = np.arange(n)
+        for k, off in enumerate(self.offsets):
+            cols = i + off
+            mask = (cols >= 0) & (cols < m) & (data[k] != 0)
+            all_rows.append(i[mask])
+            all_cols.append(cols[mask])
+            all_vals.append(data[k][mask])
+        return CSRMatrix.from_coo(
+            np.concatenate(all_rows), np.concatenate(all_cols),
+            np.concatenate(all_vals), self._shape,
+        )
 
     def diagonal(self):
         if 0 not in self.offsets:

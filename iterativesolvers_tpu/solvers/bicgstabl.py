@@ -1,0 +1,171 @@
+"""BiCGStab(l).
+
+Functional analogue of ``src/bicgstabl.jl``: per cycle an l-step BiCG half
+(2l SpMVs) followed by an l-dimensional minimal-residual polynomial step.
+The rs/us panels are (n, l+1) matrices so the MR half is three rank-l GEMMs
+(src/bicgstabl.jl:117-131) — MXU-friendly.  ``l`` is static, so the BiCG
+half unrolls at trace time.
+
+Reference semantics preserved:
+  * termination counts **matrix-vector products** (``max_mv_products``),
+    not iterations (src/bicgstabl.jl:77, docstring :156-157);
+  * the stopping residual is the *preconditioned, recurrence* residual —
+    the true residual is never formed (docstring :164-168);
+  * the shadow residual is random (src/bicgstabl.jl:38); here it comes from
+    ``jax.random`` under an explicit ``seed`` for reproducibility.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..operators.linear_operator import as_operator
+from ..operators.preconditioners import as_preconditioner
+from ..utils.dtypes import real_dtype, solve_dtype
+from .common import SolveResult, make_history, norm, resolve_tols, tolerance, vdot
+
+__all__ = ["bicgstabl"]
+
+
+class BiCGStabState(NamedTuple):
+    x: jax.Array
+    rs: jax.Array       # (n, l+1)
+    us: jax.Array       # (n, l+1)
+    omega: jax.Array
+    sigma: jax.Array
+    mv: jax.Array       # mat-vec product count
+    residual: jax.Array
+    tol: jax.Array
+    k: jax.Array        # outer iterations
+    resnorm_log: jax.Array
+
+
+def _random_like(key, n, dtype):
+    if jnp.issubdtype(dtype, jnp.complexfloating):
+        rdt = real_dtype(dtype)
+        re = jax.random.uniform(key, (n,), dtype=rdt)
+        im = jax.random.uniform(jax.random.fold_in(key, 1), (n,), dtype=rdt)
+        return (re + 1j * im).astype(dtype)
+    return jax.random.uniform(key, (n,), dtype=dtype)
+
+
+def _bicgstabl_core(op, b, x0, Pl, r_shadow, reltol, abstol, l, max_mv,
+                    initially_zero):
+    dtype = solve_dtype(op.dtype, b.dtype)
+    n = b.shape[0]
+    x = x0.astype(dtype)
+    r = b.astype(dtype) if initially_zero else b.astype(dtype) - op.mv(x)
+    r = Pl.ldiv(r)
+    mv0 = 0 if initially_zero else 1
+    nrm = norm(r)
+    tol = tolerance(nrm, reltol, abstol)
+    max_cycles = max(1, (max_mv // (2 * l)) + 2)
+
+    rs = jnp.zeros((n, l + 1), dtype=dtype).at[:, 0].set(r)
+    state0 = BiCGStabState(
+        x=x,
+        rs=rs,
+        us=jnp.zeros((n, l + 1), dtype=dtype),
+        omega=jnp.ones((), dtype),
+        sigma=jnp.ones((), dtype),
+        mv=jnp.asarray(mv0, jnp.int32),
+        residual=nrm,
+        tol=tol,
+        k=jnp.zeros((), jnp.int32),
+        resnorm_log=jnp.zeros((max_cycles,), real_dtype(dtype)),
+    )
+
+    def body(s):
+        x, rs, us = s.x, s.rs, s.us
+        sigma = -s.omega * s.sigma
+        # BiCG half (src/bicgstabl.jl:88-112); j is static -> unrolled
+        for j in range(l):
+            rho = vdot(r_shadow, rs[:, j])
+            beta = rho / sigma
+            us = us.at[:, : j + 1].set(rs[:, : j + 1] - beta * us[:, : j + 1])
+            next_u = Pl.ldiv(op.mv(us[:, j]))
+            us = us.at[:, j + 1].set(next_u)
+            sigma = vdot(r_shadow, next_u)
+            alpha = rho / sigma
+            rs = rs.at[:, : j + 1].add(-alpha * us[:, 1 : j + 2])
+            next_r = Pl.ldiv(op.mv(rs[:, j]))
+            rs = rs.at[:, j + 1].set(next_r)
+            x = x + alpha * us[:, 0]
+
+        # MR half (src/bicgstabl.jl:117-131): small (l+1)^2 Gram + solve
+        M = jnp.conj(rs).T @ rs
+        gamma = jnp.linalg.solve(M[1:, 1:], M[1:, 0])
+        u0 = us[:, 0] - us[:, 1:] @ gamma
+        x = x + rs[:, :l] @ gamma
+        r0 = rs[:, 0] - rs[:, 1:] @ gamma
+        us = us.at[:, 0].set(u0)
+        rs = rs.at[:, 0].set(r0)
+        residual = norm(r0)
+        return BiCGStabState(
+            x=x, rs=rs, us=us,
+            omega=gamma[l - 1],
+            sigma=sigma,
+            mv=s.mv + 2 * l,
+            residual=residual,
+            tol=s.tol,
+            k=s.k + 1,
+            resnorm_log=s.resnorm_log.at[s.k].set(residual),
+        )
+
+    final = jax.lax.while_loop(
+        lambda s: (s.mv < max_mv) & (s.residual > s.tol), body, state0
+    )
+    return SolveResult(
+        x=final.x,
+        iters=final.k,
+        converged=final.residual <= final.tol,
+        resnorm=final.residual,
+        log={"resnorm": (final.resnorm_log, final.k)},
+    ), final.mv
+
+
+_bicgstabl_jit = jax.jit(
+    _bicgstabl_core, static_argnames=("l", "max_mv", "initially_zero")
+)
+
+
+def bicgstabl(
+    A,
+    b,
+    l: int = 2,
+    *,
+    x0=None,
+    Pl=None,
+    abstol: float | None = None,
+    reltol: float | None = None,
+    max_mv_products: int | None = None,
+    seed: int = 0,
+    log: bool = False,
+):
+    """Solve A x = b with BiCGStab(l) (~ bicgstabl/bicgstabl!,
+    src/bicgstabl.jl:142-219)."""
+    op = as_operator(A, b)
+    Pl = as_preconditioner(Pl)
+    b = jnp.asarray(b)
+    n = op.shape[1]
+    max_mv = int(max_mv_products if max_mv_products is not None else n)
+    initially_zero = x0 is None
+    dtype = solve_dtype(op.dtype, b.dtype)
+    if x0 is None:
+        x0 = jnp.zeros(n, dtype=dtype)
+    reltol_, abstol_ = resolve_tols(dtype, reltol, abstol)
+    r_shadow = _random_like(jax.random.PRNGKey(seed), n, dtype)
+    res, mv = _bicgstabl_jit(
+        op, b, jnp.asarray(x0), Pl, r_shadow, reltol_, abstol_, int(l), max_mv,
+        initially_zero,
+    )
+    if not log:
+        return res.x
+    history = make_history(res, mv_per_iter=0.0, mv_initial=0)
+    history.mvps = int(mv)
+    history["abstol"] = float(abstol_)
+    history["reltol"] = float(reltol_)
+    return res.x, history

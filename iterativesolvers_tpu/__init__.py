@@ -30,6 +30,17 @@ from .solvers.gmres import gmres
 from .solvers.idrs import idrs
 from .solvers.minres import minres, minres_iterator
 from .solvers.qmr import qmr
+from .solvers.stationary import (
+    SingularError,
+    gauss_seidel,
+    gauss_seidel_iterable,
+    jacobi,
+    jacobi_iterable,
+    sor,
+    sor_iterable,
+    ssor,
+    ssor_iterable,
+)
 from .utils.history import ConvergenceHistory
 
 __version__ = "0.1.0"

@@ -1,0 +1,145 @@
+"""Stationary method tests (~ test/stationary.jl).
+
+Covers: convergence on diagonally-dominant problems, GS == SOR(1) sweep-by-
+sweep (test/stationary.jl:56-68), singular diagonal raises
+(test/stationary.jl:70-84), dense == sparse sweeps, and level-scheduled
+triangular solves vs dense ground truth (test/stationary.jl:86-214).
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from iterativesolvers_tpu.operators.sparse import csr_from_dense
+from iterativesolvers_tpu.ops.triangular import LevelScheduledTriangular
+from iterativesolvers_tpu.solvers.stationary import (
+    SingularError,
+    gauss_seidel,
+    gauss_seidel_iterable,
+    jacobi,
+    jacobi_iterable,
+    sor,
+    sor_iterable,
+    ssor,
+)
+
+
+def _dd_matrix(rng, n, dtype=np.float64):
+    """Strictly diagonally dominant random matrix (guaranteed convergence)."""
+    A = rng.random((n, n)).astype(dtype)
+    A += A.T
+    A[np.diag_indices(n)] = 2.0 * np.abs(A).sum(axis=1) + 1.0
+    return A
+
+
+@pytest.mark.parametrize("method", ["jacobi", "gauss_seidel"])
+@pytest.mark.parametrize("sparse", [False, True])
+def test_converges(rng, method, sparse):
+    n = 30
+    A = _dd_matrix(rng, n)
+    x_true = rng.random(n)
+    b = A @ x_true
+    op = csr_from_dense(A) if sparse else A
+    fn = {"jacobi": jacobi, "gauss_seidel": gauss_seidel}[method]
+    x = fn(op, b, maxiter=200)
+    assert np.linalg.norm(A @ np.asarray(x) - b) / np.linalg.norm(b) < 1e-8
+
+
+@pytest.mark.parametrize("sparse", [False, True])
+@pytest.mark.parametrize("omega", [0.8, 1.1])
+def test_sor_ssor_converge(rng, sparse, omega):
+    n = 30
+    A = _dd_matrix(rng, n)
+    x_true = rng.random(n)
+    b = A @ x_true
+    op = csr_from_dense(A) if sparse else A
+    for fn in (sor, ssor):
+        x = fn(op, b, omega, maxiter=300)
+        assert np.linalg.norm(A @ np.asarray(x) - b) / np.linalg.norm(b) < 1e-8
+
+
+@pytest.mark.parametrize("sparse", [False, True])
+def test_gs_equals_sor_omega1(rng, sparse):
+    """GS and SOR(1.0) produce identical iterates (test/stationary.jl:56-68)."""
+    n = 20
+    A = _dd_matrix(rng, n)
+    b = rng.random(n)
+    op = csr_from_dense(A) if sparse else A
+    it_gs = gauss_seidel_iterable(op, b, maxiter=5)
+    it_sor = sor_iterable(op, b, 1.0, maxiter=5)
+    for xg, xs in zip(it_gs, it_sor):
+        np.testing.assert_allclose(np.asarray(xg), np.asarray(xs), rtol=1e-12)
+
+
+def test_dense_matches_sparse(rng):
+    n = 25
+    A = _dd_matrix(rng, n)
+    b = rng.random(n)
+    for fn, args in ((jacobi, ()), (gauss_seidel, ()), (sor, (1.2,)), (ssor, (1.2,))):
+        xd = fn(A, b, *args, maxiter=7)
+        xs = fn(csr_from_dense(A), b, *args, maxiter=7)
+        np.testing.assert_allclose(np.asarray(xd), np.asarray(xs), rtol=1e-10, atol=1e-12)
+
+
+def test_singular_diagonal_raises(rng):
+    A = _dd_matrix(rng, 10)
+    A[3, 3] = 0.0
+    b = rng.random(10)
+    for fn, args in ((jacobi, ()), (gauss_seidel, ()), (sor, (1.1,))):
+        with pytest.raises(SingularError):
+            fn(A, b, *args)
+        with pytest.raises(SingularError):
+            fn(csr_from_dense(A), b, *args)
+
+
+def test_missing_sparse_diagonal_raises(rng):
+    A = _dd_matrix(rng, 10)
+    csr = csr_from_dense(A)
+    # structurally remove a diagonal entry
+    import numpy as np2
+
+    rows = np2.asarray(csr.row_ids)
+    cols = np2.asarray(csr.indices)
+    vals = np2.asarray(csr.data)
+    keep = ~((rows == 5) & (cols == 5))
+    from iterativesolvers_tpu.operators.sparse import CSRMatrix
+
+    broken = CSRMatrix.from_coo(rows[keep], cols[keep], vals[keep], (10, 10))
+    with pytest.raises(SingularError):
+        gauss_seidel(broken, np2.ones(10))
+
+
+@pytest.mark.parametrize("lower", [True, False])
+def test_level_scheduled_triangular_vs_dense(rng, lower):
+    """(D + T) y = rhs matches dense solve (test/stationary.jl:86-214)."""
+    n = 40
+    T = np.tril(rng.random((n, n)), -1) if lower else np.triu(rng.random((n, n)), 1)
+    T[np.abs(T) < 0.7] = 0.0  # sparsify
+    d = rng.random(n) + 1.0
+    csr = csr_from_dense(T)
+    ls = LevelScheduledTriangular.from_csr(
+        np.asarray(csr.indptr), np.asarray(csr.indices), np.asarray(csr.data),
+        d, lower=lower,
+    )
+    rhs = rng.random(n)
+    y = np.asarray(ls.solve(jnp.asarray(rhs)))
+    y_ref = np.linalg.solve(T + np.diag(d), rhs)
+    np.testing.assert_allclose(y, y_ref, rtol=1e-10)
+    # omega-scaled diagonal variant
+    y2 = np.asarray(ls.solve(jnp.asarray(rhs), omega=1.3))
+    y2_ref = np.linalg.solve(T + np.diag(d / 1.3), rhs)
+    np.testing.assert_allclose(y2, y2_ref, rtol=1e-10)
+
+
+def test_jacobi_iterable_checkpoint(rng):
+    """Iterator exposes state between sweeps (docs/src/iterators.md)."""
+    n = 15
+    A = _dd_matrix(rng, n)
+    b = rng.random(n)
+    it = jacobi_iterable(A, b, maxiter=50)
+    for i, x in enumerate(it):
+        if i == 3:
+            break
+    x_mid = np.asarray(it.state.x)
+    x_direct = np.asarray(jacobi(A, b, maxiter=4))
+    np.testing.assert_allclose(x_mid, x_direct, rtol=1e-12)

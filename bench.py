@@ -1,0 +1,104 @@
+"""Benchmark: CG on a large 3-D Laplacian — SpMV throughput vs HBM roofline.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
+
+The BASELINE target (BASELINE.md) is SpMV throughput > 70% of the HBM
+roofline in nnz/s per chip, measured inside a real CG solve (not a bare
+SpMV microbenchmark).  ``vs_baseline`` is value / (0.70 * roofline):
+>= 1.0 beats the target.
+
+Roofline model for the DIA (7-point stencil) SpMV in f32:
+  streamed bytes per row = 7 diag values * 4B + 1 x read * 4B + 1 y write * 4B
+  (x is re-read once per pass; XLA fuses the 7 shifted reads into one pass
+  over x in the ideal case — we charge the *optimistic* model so the
+  reported fraction is conservative).
+  bytes/nnz = (7*4 + 4 + 4) / 7 = 5.14 B
+The CG iteration adds 2 reductions + 3 axpy-like passes over vectors,
+which we time separately as iteration throughput.
+"""
+
+import json
+import time
+
+import numpy as np
+
+
+def hbm_bandwidth_gbs() -> float:
+    """Per-chip HBM bandwidth (GB/s).  TPU v5e: 819 GB/s; v4: 1228; v5p: 2765."""
+    import jax
+
+    kind = jax.devices()[0].device_kind.lower()
+    if "v5 lite" in kind or "v5e" in kind or "v5lite" in kind:
+        return 819.0
+    if "v4" in kind:
+        return 1228.0
+    if "v5p" in kind or "v5" in kind:
+        return 2765.0
+    if "v6" in kind:
+        return 1640.0
+    return 819.0  # conservative default
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    import iterativesolvers_tpu as its
+    from iterativesolvers_tpu.utils.fixtures import laplace_dia
+
+    side = 128  # 128^3 = 2,097,152 rows, 7 diagonals -> ~14.7M nnz
+    A = laplace_dia(side, 3, dtype=np.float32)
+    n = A.shape[0]
+    nnz = int(np.count_nonzero(np.asarray(A.data)))
+    b = jnp.ones((n,), jnp.float32)
+
+    maxiter = 200
+    # warm-up / compile
+    x = its.cg(A, b, reltol=1e-6, maxiter=maxiter)
+    x.block_until_ready()
+
+    runs = 3
+    t0 = time.perf_counter()
+    for _ in range(runs):
+        x, h = its.cg(A, b, reltol=1e-6, maxiter=maxiter, log=True)
+        x.block_until_ready()
+    dt = (time.perf_counter() - t0) / runs
+    iters = int(h.iters)
+
+    spmv_per_iter = 1
+    nnz_per_s = nnz * spmv_per_iter * iters / dt
+
+    # fraction of time the SpMV accounts for, in the streaming model:
+    # per iteration traffic = SpMV (7 diags + x + y) + ~5 extra vector passes
+    bytes_spmv = (7 * 4 + 4 + 4) * n
+    bytes_other = 5 * 4 * n  # u, c, x, r updates + reductions (approximate)
+    bytes_total_per_iter = bytes_spmv + bytes_other
+
+    bw = hbm_bandwidth_gbs() * 1e9
+    roofline_iter_time = bytes_total_per_iter / bw
+    achieved_iter_time = dt / iters
+    frac_roofline = roofline_iter_time / achieved_iter_time
+
+    # headline: effective SpMV nnz/s vs the 70%-of-roofline target
+    roofline_nnz_s = bw / (bytes_spmv / nnz) * (bytes_spmv / bytes_total_per_iter)
+    target = 0.70 * roofline_nnz_s
+
+    print(json.dumps({
+        "metric": "cg_3d_laplace_spmv_throughput",
+        "value": round(nnz_per_s / 1e9, 4),
+        "unit": "Gnnz/s",
+        "vs_baseline": round(nnz_per_s / target, 4),
+        "detail": {
+            "n": n,
+            "nnz": nnz,
+            "iters": iters,
+            "sec_per_solve": round(dt, 4),
+            "frac_hbm_roofline": round(frac_roofline, 4),
+            "device": str(jax.devices()[0].device_kind),
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -29,10 +29,12 @@ from .solvers.chebyshev import chebyshev
 from .solvers.gmres import gmres
 from .solvers.idrs import idrs
 from .solvers.minres import minres, minres_iterator
+from .solvers.lobpcg import LOBPCGResults, lobpcg
 from .solvers.lsmr import lsmr
 from .solvers.lsqr import lsqr
 from .solvers.qmr import qmr
 from .solvers.simple import invpowm, powm, powm_iterator
+from .solvers.svdl import svdl
 from .solvers.stationary import (
     SingularError,
     gauss_seidel,

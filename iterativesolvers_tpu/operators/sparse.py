@@ -81,14 +81,17 @@ class CSRMatrix(LinearOperator):
         return int(self.data.shape[0])
 
     def mv(self, x):
-        vals = self.data * x[self.indices]
+        # x: (m,) or (m, k)
+        d = self.data if x.ndim == 1 else self.data[:, None]
+        vals = d * x[self.indices]
         return jax.ops.segment_sum(
             vals, self.row_ids, num_segments=self._shape[0], indices_are_sorted=True
         )
 
     def rmv(self, x):
         # A^H x via scatter-add onto column ids (no transposed copy needed).
-        vals = jnp.conj(self.data) * x[self.row_ids]
+        d = jnp.conj(self.data) if x.ndim == 1 else jnp.conj(self.data)[:, None]
+        vals = d * x[self.row_ids]
         return jax.ops.segment_sum(vals, self.indices, num_segments=self._shape[1])
 
     def to_dense(self):
@@ -172,12 +175,17 @@ class ELLMatrix(LinearOperator):
         return int(self.data.shape[1])
 
     def mv(self, x):
-        return jnp.sum(self.data * x[self.cols], axis=1)
+        # x: (m,) or (m, k) — gathered rows broadcast against the (n, w) data
+        g = x[self.cols]  # (n, w) or (n, w, k)
+        d = self.data if x.ndim == 1 else self.data[..., None]
+        return jnp.sum(d * g, axis=1)
 
     def rmv(self, x):
-        vals = (jnp.conj(self.data) * x[:, None]).ravel()
+        d = jnp.conj(self.data) if x.ndim == 1 else jnp.conj(self.data)[..., None]
+        vals = d * x[:, None]  # (n, w) or (n, w, k)
+        flat = vals.reshape((-1,) + vals.shape[2:])
         return jax.ops.segment_sum(
-            vals, self.cols.ravel(), num_segments=self._shape[1]
+            flat, self.cols.ravel(), num_segments=self._shape[1]
         )
 
     def to_dense(self):
@@ -227,26 +235,33 @@ class DIAMatrix(LinearOperator):
         return self.data.dtype
 
     def mv(self, x):
+        # x: (m,) or (m, k) — shifted multiply-adds along axis 0
         n, m = self._shape
         pad = max(max((abs(o) for o in self.offsets), default=0), 1)
-        xp = jnp.pad(x, (pad, pad + max(n - m, 0)))
-        y = jnp.zeros(n, dtype=jnp.result_type(self.dtype, x.dtype))
+        xp = jnp.pad(x, ((pad, pad + max(n - m, 0)),) + ((0, 0),) * (x.ndim - 1))
+        y = jnp.zeros((n,) + x.shape[1:], dtype=jnp.result_type(self.dtype, x.dtype))
         for k, off in enumerate(self.offsets):
             # row i reads x[i + off]  ->  slice xp starting at pad + off
-            y = y + self.data[k] * jax.lax.dynamic_slice(xp, (pad + off,), (n,))
+            d = self.data[k] if x.ndim == 1 else self.data[k][:, None]
+            y = y + d * jax.lax.dynamic_slice_in_dim(xp, pad + off, n, axis=0)
         return y
 
     def rmv(self, x):
         n, m = self._shape
         pad = max(max((abs(o) for o in self.offsets), default=0), 1)
         y = jnp.zeros(
-            m + 2 * pad + max(n - m, 0), dtype=jnp.result_type(self.dtype, x.dtype)
+            (m + 2 * pad + max(n - m, 0),) + x.shape[1:],
+            dtype=jnp.result_type(self.dtype, x.dtype),
         )
         for k, off in enumerate(self.offsets):
             # (A^H x)[i + off] += conj(data[k, i]) * x[i]
-            contrib = jnp.conj(self.data[k]) * x
-            y = jax.lax.dynamic_update_slice(
-                y, jax.lax.dynamic_slice(y, (pad + off,), (n,)) + contrib, (pad + off,)
+            d = jnp.conj(self.data[k]) if x.ndim == 1 else jnp.conj(self.data[k])[:, None]
+            contrib = d * x
+            y = jax.lax.dynamic_update_slice_in_dim(
+                y,
+                jax.lax.dynamic_slice_in_dim(y, pad + off, n, axis=0) + contrib,
+                pad + off,
+                axis=0,
             )
         return y[pad : pad + m]
 

@@ -1,0 +1,213 @@
+"""Multi-device distribution: row-partitioned operators over a 1-D mesh.
+
+The reference is strictly single-process (SURVEY §5: no MPI/NCCL/Distributed
+anywhere); this layer is the net-new TPU-native component.  The capability
+axis that matters for a Krylov library is scaling the problem dimension n:
+**1-D row partition of A and all length-n vectors**, replicated small state
+(Hessenberg, Givens, scalars), ``psum`` allreduces for dots/norms.
+
+Two complementary paths:
+
+1. **GSPMD auto-partitioning** (``shard_dia`` / ``shard_vector``): place the
+   operator's arrays and the vectors with ``NamedSharding`` and call the
+   ordinary solvers — the whole ``lax.while_loop`` is partitioned by XLA,
+   which inserts collective-permutes for the stencil halo reads and psums
+   for the reductions.  Zero solver changes; the scaling-book recipe
+   ("pick a mesh, annotate shardings, let XLA insert collectives").
+
+2. **Explicit halo exchange** (``HaloDIAOperator``): a ``shard_map`` SpMV
+   with hand-placed ``ppermute`` halo transfers over ICI, for guaranteed
+   communication placement on the hot path.  Boundary wrap-around reads are
+   multiplied by structurally-zero DIA padding, so no masking is needed.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..operators.linear_operator import LinearOperator
+from ..operators.sparse import DIAMatrix
+
+__all__ = [
+    "row_mesh",
+    "shard_vector",
+    "shard_dia",
+    "replicate",
+    "HaloDIAOperator",
+]
+
+ROW_AXIS = "rows"
+
+
+def row_mesh(n_devices: Optional[int] = None, devices=None) -> Mesh:
+    """1-D device mesh over the row-partition axis."""
+    if devices is None:
+        devices = jax.devices()
+        if n_devices is not None:
+            devices = devices[:n_devices]
+    return Mesh(np.asarray(devices), (ROW_AXIS,))
+
+
+def shard_vector(v, mesh: Mesh):
+    """Place a length-n vector row-sharded on the mesh."""
+    return jax.device_put(v, NamedSharding(mesh, P(ROW_AXIS)))
+
+
+def replicate(x, mesh: Mesh):
+    """Replicate small state (scalars, Hessenberg panels) on every device."""
+    return jax.device_put(x, NamedSharding(mesh, P()))
+
+
+def shard_dia(A: DIAMatrix, mesh: Mesh) -> DIAMatrix:
+    """Row-shard a DIA operator: data is (ndiag, n), so shard axis 1.
+    The returned operator works unchanged in every solver; XLA partitions
+    the shifted reads in ``DIAMatrix.mv`` with collective-permutes."""
+    data = jax.device_put(A.data, NamedSharding(mesh, P(None, ROW_AXIS)))
+    return DIAMatrix(data, A.offsets, A.shape)
+
+
+# ---------------------------------------------------------------------------
+# Explicit halo-exchange SpMV under shard_map
+# ---------------------------------------------------------------------------
+
+
+@jax.tree_util.register_pytree_node_class
+class HaloDIAOperator(LinearOperator):
+    """Row-partitioned DIA SpMV with explicit ``ppermute`` halo exchange.
+
+    Each device owns a contiguous block of ``n_local = n / D`` rows of the
+    diagonal data and of every vector.  An SpMV sends the ``halo`` boundary
+    entries of x to each neighbor over ICI (one ppermute pair), then runs
+    the purely local shifted multiply-add — zero gathers, pure VPU streaming.
+    Wrap-around halo values at the global boundary are harmless: DIA data is
+    structurally zero wherever ``i + offset`` falls outside the matrix.
+
+    The halo ppermutes are issued before the interior multiply-adds so XLA
+    can overlap the ICI transfer with the interior compute.
+    """
+
+    def __init__(self, dia: DIAMatrix, mesh: Mesh):
+        n, m = dia.shape
+        if n != m:
+            raise ValueError("HaloDIAOperator requires a square operator")
+        D = mesh.shape[ROW_AXIS]
+        if n % D != 0:
+            raise ValueError(f"n={n} must divide evenly over {D} devices")
+        n_local = n // D
+        halo = max((abs(o) for o in dia.offsets), default=0)
+        if halo > n_local:
+            raise ValueError(
+                f"stencil halo {halo} exceeds local block {n_local}; "
+                "use fewer devices or a larger problem"
+            )
+        self.mesh = mesh
+        self.halo = halo
+        self.n_local = n_local
+        self.offsets = dia.offsets
+        self._shape = dia.shape
+        self.data = jax.device_put(
+            dia.data, NamedSharding(mesh, P(None, ROW_AXIS))
+        )
+
+    @property
+    def shape(self):
+        return self._shape
+
+    @property
+    def dtype(self):
+        return self.data.dtype
+
+    def mv(self, x):
+        halo, offsets, n_local = self.halo, self.offsets, self.n_local
+        D = self.mesh.shape[ROW_AXIS]
+
+        def local_mv(data_loc, x_loc):
+            # x_loc: (n_local,) or (n_local, k)
+            if halo > 0 and D > 1:
+                fwd = [(i, (i + 1) % D) for i in range(D)]
+                bwd = [(i, (i - 1) % D) for i in range(D)]
+                left = jax.lax.ppermute(x_loc[-halo:], ROW_AXIS, perm=fwd)
+                right = jax.lax.ppermute(x_loc[:halo], ROW_AXIS, perm=bwd)
+            else:
+                left = x_loc[-halo:] if halo else x_loc[:0]
+                right = x_loc[:halo]
+            x_ext = jnp.concatenate([left, x_loc, right], axis=0)
+            y = jnp.zeros_like(x_loc)
+            for kk, off in enumerate(offsets):
+                d = data_loc[kk] if x_loc.ndim == 1 else data_loc[kk][:, None]
+                y = y + d * jax.lax.dynamic_slice_in_dim(
+                    x_ext, halo + off, n_local, axis=0
+                )
+            return y
+
+        vec_spec = P(ROW_AXIS) if x.ndim == 1 else P(ROW_AXIS, None)
+        return jax.shard_map(
+            local_mv,
+            mesh=self.mesh,
+            in_specs=(P(None, ROW_AXIS), vec_spec),
+            out_specs=vec_spec,
+        )(self.data, x)
+
+    def rmv(self, x):
+        # A^H for DIA: offset o of A^H holds conj(A) offset -o data shifted;
+        # implement via the same halo pattern on the transposed stencil.
+        halo, offsets, n_local = self.halo, self.offsets, self.n_local
+        D = self.mesh.shape[ROW_AXIS]
+
+        def local_rmv(data_loc, x_loc):
+            if halo > 0 and D > 1:
+                fwd = [(i, (i + 1) % D) for i in range(D)]
+                bwd = [(i, (i - 1) % D) for i in range(D)]
+                left = jax.lax.ppermute(x_loc[-halo:], ROW_AXIS, perm=fwd)
+                right = jax.lax.ppermute(x_loc[:halo], ROW_AXIS, perm=bwd)
+            else:
+                left = x_loc[-halo:] if halo else x_loc[:0]
+                right = x_loc[:halo]
+            x_ext = jnp.concatenate([left, x_loc, right], axis=0)
+            y = jnp.zeros_like(x_loc)
+            # (A^H x)[i] = sum_o conj(A[i - o, i]) x[i - o]
+            #            = sum_o conj(data[o, i - o]) x[i - o]
+            # so we also need the halo of each *data* row; exchange it the
+            # same way as x.
+            for kk, off in enumerate(offsets):
+                drow = data_loc[kk]
+                if halo > 0 and D > 1:
+                    dl = jax.lax.ppermute(drow[-halo:], ROW_AXIS, perm=fwd)
+                    dr = jax.lax.ppermute(drow[:halo], ROW_AXIS, perm=bwd)
+                else:
+                    dl = drow[-halo:] if halo else drow[:0]
+                    dr = drow[:halo]
+                d_ext = jnp.concatenate([dl, drow, dr], axis=0)
+                d_shift = jax.lax.dynamic_slice_in_dim(
+                    d_ext, halo - off, n_local, axis=0
+                )
+                x_shift = jax.lax.dynamic_slice_in_dim(
+                    x_ext, halo - off, n_local, axis=0
+                )
+                d = d_shift if x_loc.ndim == 1 else d_shift[:, None]
+                y = y + jnp.conj(d) * x_shift
+            return y
+
+        vec_spec = P(ROW_AXIS) if x.ndim == 1 else P(ROW_AXIS, None)
+        return jax.shard_map(
+            local_rmv,
+            mesh=self.mesh,
+            in_specs=(P(None, ROW_AXIS), vec_spec),
+            out_specs=vec_spec,
+        )(self.data, x)
+
+    def tree_flatten(self):
+        return (self.data,), (self.mesh, self.halo, self.n_local, self.offsets, self._shape)
+
+    @classmethod
+    def tree_unflatten(cls, aux, leaves):
+        obj = object.__new__(cls)
+        (obj.data,) = leaves
+        obj.mesh, obj.halo, obj.n_local, obj.offsets, obj._shape = aux
+        return obj

@@ -25,7 +25,7 @@ import jax.numpy as jnp
 from ..operators.linear_operator import as_operator
 from ..operators.preconditioners import as_preconditioner
 from ..utils.dtypes import real_dtype, solve_dtype
-from .common import SolveResult, make_history, norm, resolve_tols, tolerance, vdot
+from .common import SolveResult, make_history, norm, resolve_tols, tolerance, vdot, with_highest_precision
 
 __all__ = ["bicgstabl"]
 
@@ -128,7 +128,7 @@ def _bicgstabl_core(op, b, x0, Pl, r_shadow, reltol, abstol, l, max_mv,
 
 
 _bicgstabl_jit = jax.jit(
-    _bicgstabl_core, static_argnames=("l", "max_mv", "initially_zero")
+    with_highest_precision(_bicgstabl_core), static_argnames=("l", "max_mv", "initially_zero")
 )
 
 

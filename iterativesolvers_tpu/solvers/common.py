@@ -29,6 +29,7 @@ from ..utils.history import ConvergenceHistory
 
 __all__ = [
     "SolveResult",
+    "with_highest_precision",
     "tolerance",
     "norm",
     "vdot",
@@ -131,3 +132,18 @@ class SolverIterator:
     @property
     def x(self):
         return self.state.x
+
+
+def with_highest_precision(f):
+    """On TPU the default matmul precision is bfloat16 — fatal for Krylov
+    orthogonalization / Gram matrices in f32.  Wrap a (to-be-jitted) solver
+    core so every matmul traced inside uses full-precision MXU passes."""
+
+    import functools
+
+    @functools.wraps(f)
+    def g(*args, **kwargs):
+        with jax.default_matmul_precision("highest"):
+            return f(*args, **kwargs)
+
+    return g

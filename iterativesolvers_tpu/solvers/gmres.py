@@ -36,7 +36,7 @@ from ..ops.givens import apply_givens, givens
 from ..ops.hessenberg import back_substitute
 from ..ops.orthogonalize import orthogonalize_and_normalize
 from ..utils.dtypes import real_dtype, solve_dtype
-from .common import SolveResult, make_history, norm, resolve_tols, tolerance
+from .common import SolveResult, make_history, norm, resolve_tols, tolerance, with_highest_precision
 
 __all__ = ["gmres"]
 
@@ -174,7 +174,7 @@ def _gmres_core(op, b, x0, Pl, Pr, reltol, abstol, restart, maxiter,
 
 
 _gmres_jit = jax.jit(
-    _gmres_core,
+    with_highest_precision(_gmres_core),
     static_argnames=("restart", "maxiter", "initially_zero", "orth_method"),
 )
 

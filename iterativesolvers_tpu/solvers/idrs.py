@@ -26,7 +26,7 @@ import jax.numpy as jnp
 from ..operators.linear_operator import as_operator
 from ..operators.preconditioners import as_preconditioner
 from ..utils.dtypes import real_dtype, solve_dtype
-from .common import SolveResult, make_history, norm, resolve_tols, tolerance, vdot
+from .common import SolveResult, make_history, norm, resolve_tols, tolerance, vdot, with_highest_precision
 
 __all__ = ["idrs"]
 
@@ -172,7 +172,7 @@ def _idrs_core(op, b, x0, Pl, P, reltol, abstol, s, maxiter, smoothing,
 
 
 _idrs_jit = jax.jit(
-    _idrs_core, static_argnames=("s", "maxiter", "smoothing", "initially_zero")
+    with_highest_precision(_idrs_core), static_argnames=("s", "maxiter", "smoothing", "initially_zero")
 )
 
 

@@ -26,7 +26,7 @@ import jax.numpy as jnp
 from ..operators.linear_operator import as_operator
 from ..ops.givens import givens
 from ..utils.dtypes import real_dtype, solve_dtype
-from .common import SolveResult, make_history, norm, resolve_tols, tolerance, vdot
+from .common import SolveResult, make_history, norm, resolve_tols, tolerance, vdot, with_highest_precision
 
 __all__ = ["qmr"]
 
@@ -137,7 +137,7 @@ def _qmr_core(op, b, x0, reltol, abstol, maxiter, initially_zero):
     )
 
 
-_qmr_jit = jax.jit(_qmr_core, static_argnames=("maxiter", "initially_zero"))
+_qmr_jit = jax.jit(with_highest_precision(_qmr_core), static_argnames=("maxiter", "initially_zero"))
 
 
 def qmr(

@@ -1,0 +1,259 @@
+"""svdl — partial SVD via Golub-Kahan-Lanczos with thick restart.
+
+TPU-native re-design of the reference ``src/svdl.jl``.  Key re-designs:
+
+* The reference grows ``P``/``Q`` by ``hcat`` every GKL step
+  (src/svdl.jl:579,605) — here the panels are **pre-allocated (m, k) /
+  (n, k+1) buffers** updated in place under jit (SURVEY §7 explicitly calls
+  this out); stale columns are zeroed so full-panel reorthogonalization
+  against them is a no-op.
+* The reference's ``BrokenArrowBidiagonal`` type (diag + arrow column,
+  src/svdl.jl:19-69) becomes a small dense (k, k+1) matrix — its SVD is a
+  k x k device ``jnp.linalg.svd``, so no custom structured type is needed.
+* Reorthogonalization: the reference does double classical Gram-Schmidt
+  gated by the 1/sqrt(2) ARPACK criterion (src/svdl.jl:565-577).  Here both
+  CGS passes always run (two tall-skinny gemvs on the MXU — cheaper than a
+  data-dependent branch under jit), on both left and right vectors.
+
+Macro-iteration (~ svdl_method!, src/svdl.jl:177-247):
+    build GKL factorization to k columns
+    loop: F = svd(B); convergence check (Wilkinson / Rayleigh-Ritz bounds,
+          src/svdl.jl:290-350); thick restart to l columns
+          (src/svdl.jl:376-405); extend back to k columns (src/svdl.jl:542-609)
+
+Convergence bounds (isconverged, src/svdl.jl:290-350):
+    dsig_i  = beta * |U[end, i]|                      (Wilkinson simple bound)
+    delta_i = min(dsig_i, dsig_i^2 / gap)  if 2*dsig_i <= gap   (Rayleigh-Ritz)
+    conv_i  = delta_i < max(tol, reltol * sigma_1)
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..operators.linear_operator import as_operator
+from ..utils.dtypes import real_dtype
+from ..utils.history import ConvergenceHistory
+from .common import norm, with_highest_precision
+
+__all__ = ["svdl", "PartialFactorization"]
+
+
+class PartialFactorization(NamedTuple):
+    """~ ``PartialFactorization{P,Q,B,beta}`` (src/svdl.jl:76-81).
+    ``AQ[:, :j] = P B[:j, :j]``; ``A'P = Q B' + beta * q_{k+1} e_k'``."""
+
+    P: jax.Array      # (m, k) left Lanczos panel
+    Q: jax.Array      # (n, k+1) right Lanczos panel
+    B: jax.Array      # (k, k+1): square part + trailing-beta column
+    beta: jax.Array   # coupling scalar == B[k-1, k]
+
+
+def _reorth(panel, v):
+    """Double classical Gram-Schmidt of v against the columns of panel
+    (zeros for stale columns).  ~ src/svdl.jl:565-577."""
+    v = v - panel @ (panel.conj().T @ v)
+    v = v - panel @ (panel.conj().T @ v)
+    return v
+
+
+def _gkl_extend(op, P, Q, B, j0: int, k: int):
+    """Run GKL steps j = j0 .. k-1 (~ extend!, src/svdl.jl:542-609).
+    Assumes Q[:, :j0+1], P[:, :j0], B rows/cols < j0 are valid and columns
+    >= j0 are zero.  Returns updated (P, Q, B, beta)."""
+
+    def step(j, carry):
+        P, Q, B = carry
+        # p = A q_j - P B[:, j]  (B column j carries the arrow after restart)
+        p = op.mv(Q[:, j]) - P @ B[:, j]
+        p = _reorth(P, p)
+        alpha = norm(p)
+        inv_a = jnp.where(alpha > 0, 1.0 / jnp.where(alpha > 0, alpha, 1.0), 0.0)
+        P = P.at[:, j].set(p * inv_a)
+        B = B.at[j, j].set(alpha)
+        # r = A' p_j - alpha q_j
+        r = op.rmv(P[:, j]) - alpha * Q[:, j]
+        r = _reorth(Q, r)
+        beta = norm(r)
+        inv_b = jnp.where(beta > 0, 1.0 / jnp.where(beta > 0, beta, 1.0), 0.0)
+        Q = Q.at[:, j + 1].set(r * inv_b)
+        B = B.at[j, j + 1].set(beta)
+        return P, Q, B
+
+    P, Q, B = jax.lax.fori_loop(j0, k, step, (P, Q, B))
+    return P, Q, B, B[k - 1, k]
+
+
+@partial(jax.jit, static_argnames=("op_k",))
+@with_highest_precision
+def _build(op, v0, op_k: int):
+    """Bootstrap the factorization from a start vector (~ build,
+    src/svdl.jl:353-363)."""
+    k = op_k
+    m, n = op.shape
+    dtype = v0.dtype
+    q0 = v0 / norm(v0)
+    P = jnp.zeros((m, k), dtype)
+    Q = jnp.zeros((n, k + 1), dtype).at[:, 0].set(q0)
+    B = jnp.zeros((k, k + 1), dtype)
+    P, Q, B, beta = _gkl_extend(op, P, Q, B, 0, k)
+    return PartialFactorization(P, Q, B, beta)
+
+
+@partial(jax.jit, static_argnames=("op_l", "op_k", "dolock"))
+@with_highest_precision
+def _restart_and_extend(op, L: PartialFactorization, U, s, V, conv_mask,
+                        op_l: int, op_k: int, dolock: bool):
+    """Thick restart to l columns then extend back to k
+    (~ thickrestart! + extend!, src/svdl.jl:376-405,542-609)."""
+    l, k = op_l, op_k
+    m, n = op.shape
+    dtype = L.P.dtype
+    Ul = U[:, :l].astype(dtype)
+    Vl = V[:, :l].astype(dtype)
+    Pn = jnp.zeros((m, k), dtype).at[:, :l].set(L.P @ Ul)
+    Qn = (
+        jnp.zeros((n, k + 1), dtype)
+        .at[:, :l].set(L.Q[:, :k] @ Vl)
+        .at[:, l].set(L.Q[:, k])
+    )
+    # arrow: rho_i = beta * U[k-1, i]  (src/svdl.jl:382-390)
+    rho = (L.beta * U[k - 1, :l].conj()).astype(dtype)
+    if dolock:
+        # locking zeroes converged arrow entries (src/svdl.jl:215-221)
+        rho = jnp.where(conv_mask[:l], jnp.zeros_like(rho), rho)
+    Bn = (
+        jnp.zeros((k, k + 1), dtype)
+        .at[jnp.arange(l), jnp.arange(l)].set(s[:l].astype(dtype))
+        .at[:l, l].set(rho)
+    )
+    Pn, Qn, Bn, beta = _gkl_extend(op, Pn, Qn, Bn, l, k)
+    return PartialFactorization(Pn, Qn, Bn, beta)
+
+
+@jax.jit
+@with_highest_precision
+def _ritz_and_bounds(L: PartialFactorization):
+    """SVD of the projected matrix + error bounds (~ isconverged,
+    src/svdl.jl:290-350).  Returns (U, s, V, dsig, delta)."""
+    Bsq = L.B[:, : L.B.shape[0]]
+    U, s, Vt = jnp.linalg.svd(Bsq, full_matrices=False)
+    V = Vt.conj().T
+    dsig = L.beta * jnp.abs(U[-1, :])
+    # smallest empirical spectral gap
+    diff = jnp.abs(s[:, None] - s[None, :])
+    k = s.shape[0]
+    diff = diff + jnp.eye(k, dtype=diff.dtype) * jnp.inf
+    gap = jnp.min(diff)
+    refined = jnp.minimum(dsig, dsig**2 / gap)
+    delta = jnp.where(2 * dsig <= gap, refined, dsig)
+    return U, s, V, dsig, delta
+
+
+def svdl(
+    A,
+    *,
+    nsv: int = 6,
+    k: Optional[int] = None,
+    j: Optional[int] = None,
+    v0=None,
+    tol: float | None = None,
+    reltol: float | None = None,
+    maxiter: Optional[int] = None,
+    method: str = "ritz",
+    vecs: str = "none",
+    dolock: bool = False,
+    log: bool = False,
+    key=None,
+):
+    """Largest ``nsv`` singular values (optionally vectors) of ``A``.
+
+    Mirrors ``svdl`` (src/svdl.jl:157-171): ``k = 2*nsv`` subspace columns,
+    restart rank ``j = nsv``, ``tol = reltol = sqrt(eps)``, ``maxiter =
+    min(m, n)``, ``vecs in ('none', 'left', 'right', 'both')``.
+
+    ``method='ritz'`` is the thick restart of Wu & Simon; ``'harmonic'``
+    (harmonic Ritz restart, src/svdl.jl:424-494) is not yet implemented.
+
+    Returns ``(values, fact)`` for ``vecs='none'``, else
+    ``((leftvecs, values, rightvecs_T), fact)``; append history when
+    ``log=True``.
+    """
+    if method == "harmonic":
+        raise NotImplementedError(
+            "harmonic restart (src/svdl.jl:424-494) lands in a later round; "
+            "use method='ritz'"
+        )
+    if method != "ritz":
+        raise ValueError(f"unknown restart method {method!r}")
+    op = as_operator(A)
+    m, n = op.shape
+    l = int(nsv)
+    k = int(k if k is not None else 2 * l)
+    j = int(j if j is not None else l)
+    if k <= 1:
+        raise ValueError("k must be > 1 (src/svdl.jl:184)")
+    if k > min(m, n):
+        raise ValueError("k must be <= min(size(A))")
+    maxiter = int(maxiter if maxiter is not None else min(m, n))
+    rt = real_dtype(op.dtype)
+    if tol is None:
+        tol = float(np.sqrt(np.finfo(rt).eps))
+    if reltol is None:
+        reltol = float(np.sqrt(np.finfo(rt).eps))
+    if v0 is None:
+        if key is None:
+            key = jax.random.PRNGKey(0)
+        v0 = jax.random.normal(key, (n,), rt).astype(op.dtype)
+    v0 = jnp.asarray(v0)
+
+    L = _build(op, v0, k)
+
+    history = ConvergenceHistory(partial=not log) if log else None
+    ritz_hist, res_hist, beta_hist, conv_hist = [], [], [], []
+
+    iters = 0
+    converged = False
+    U = s = V = None
+    for it in range(maxiter):
+        iters = it + 1
+        U, s, V, dsig, delta = _ritz_and_bounds(L)
+        thresh = max(tol, reltol * float(s[0]))
+        conv = np.asarray(delta) < thresh
+        ritz_hist.append(np.asarray(s))
+        res_hist.append(np.asarray(delta))
+        beta_hist.append(float(jnp.abs(L.beta)))
+        conv_hist.append(bool(conv[:l].all()))
+        if conv[:l].all():
+            converged = True
+            break
+        L = _restart_and_extend(
+            op, L, U, s, V, jnp.asarray(conv), j, k, dolock
+        )
+
+    values = s[:l]
+    if history is not None:
+        history.iters = iters
+        history.isconverged = converged
+        history["tol"] = tol
+        history.data["ritz"] = np.stack(ritz_hist)
+        history.data["resnorm"] = np.stack(res_hist)
+        history.data["betas"] = np.asarray(beta_hist)
+        history.data["conv"] = np.asarray(conv_hist)
+        history.mvps = iters * (k - j) + k
+        history.mtvps = iters * (k - j) + k
+
+    if vecs == "none":
+        out = (values, L)
+    else:
+        left = L.P @ U[:, :l] if vecs in ("left", "both") else None
+        right = (L.Q[:, :k] @ V[:, :l]).conj().T if vecs in ("right", "both") else None
+        out = ((left, values, right), L)
+    if log:
+        return (*out, history)
+    return out

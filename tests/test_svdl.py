@@ -1,0 +1,78 @@
+"""svdl tests (~ test/svdl.jl)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from iterativesolvers_tpu.operators.sparse import csr_from_dense
+from iterativesolvers_tpu.solvers.svdl import svdl
+
+
+@pytest.mark.parametrize("dtype", [np.float32, np.float64])
+def test_values_match_dense_svd(rng, dtype):
+    """Top singular values vs ground truth (test/svdl.jl:28-47)."""
+    m, n = 80, 60
+    A = rng.random((m, n)).astype(dtype)
+    s_ref = np.linalg.svd(A, compute_uv=False)
+    nsv = 5
+    tol = 1e-4 if dtype == np.float32 else 1e-9
+    vals, L = svdl(A, nsv=nsv, tol=tol, maxiter=200)
+    rtol = 1e-3 if dtype == np.float32 else 1e-7
+    np.testing.assert_allclose(np.asarray(vals), s_ref[:nsv], rtol=rtol)
+
+
+def test_vectors(rng):
+    """Singular vectors reproduce A v = s u (test/svdl.jl:55-66)."""
+    m, n = 60, 40
+    A = rng.random((m, n))
+    nsv = 4
+    (U, vals, Vt), L = svdl(A, nsv=nsv, vecs="both", tol=1e-12, reltol=1e-12,
+                            maxiter=300)
+    U, vals, Vt = np.asarray(U), np.asarray(vals), np.asarray(Vt)
+    # convergence is on the *refined value* bound (dsig^2/gap, like the
+    # reference src/svdl.jl:322-330), so vector residuals are only
+    # O(sqrt(thresh * gap))
+    for i in range(nsv):
+        assert np.linalg.norm(A @ Vt[i] - vals[i] * U[:, i]) < 1e-4
+        assert np.linalg.norm(A.T @ U[:, i] - vals[i] * Vt[i]) < 1e-4
+    # orthonormality
+    np.testing.assert_allclose(U.T @ U, np.eye(nsv), atol=1e-8)
+    np.testing.assert_allclose(Vt @ Vt.T, np.eye(nsv), atol=1e-8)
+
+
+def test_sparse_rectangular(rng):
+    m, n = 100, 70
+    A = rng.random((m, n))
+    A[np.abs(A) < 0.8] = 0.0
+    s_ref = np.linalg.svd(A, compute_uv=False)
+    vals, L = svdl(csr_from_dense(A), nsv=3, tol=1e-9, maxiter=300)
+    np.testing.assert_allclose(np.asarray(vals), s_ref[:3], rtol=1e-6)
+
+
+def test_log_history(rng):
+    A = rng.random((50, 50))
+    vals, L, h = svdl(A, nsv=3, tol=1e-8, maxiter=100, log=True)
+    assert h.isconverged
+    assert h.data["ritz"].shape[1] == 6  # k = 2*nsv values logged per iter
+    assert h.data["betas"].shape[0] == h.iters
+    assert h.data["conv"][-1]
+
+
+def test_low_rank_matrix(rng):
+    """Exactly low-rank input: converges with tiny residual bounds."""
+    m, n, r = 60, 50, 4
+    A = rng.random((m, r)) @ rng.random((r, n))
+    s_ref = np.linalg.svd(A, compute_uv=False)
+    vals, L = svdl(A, nsv=3, tol=1e-9, maxiter=100)
+    np.testing.assert_allclose(np.asarray(vals), s_ref[:3], rtol=1e-7)
+
+
+def test_harmonic_not_implemented(rng):
+    with pytest.raises(NotImplementedError):
+        svdl(rng.random((20, 20)), method="harmonic")
+
+
+def test_k_guard(rng):
+    with pytest.raises(ValueError):
+        svdl(rng.random((20, 20)), nsv=15, k=25)

@@ -1,0 +1,222 @@
+// Native host-side runtime for iterativesolvers_tpu.
+//
+// The reference is pure Julia, but its host-side preprocessing —
+// sparse-format conversion (SparseMatrixCSC construction), the
+// DiagonalIndices scan (src/stationary_sparse.jl:6-28), and the
+// MatrixMarket loaders used by the benchmarks (benchmark/matrixmarket.jl)
+// — all run compiled.  The TPU framework's equivalents live here:
+// construction-side kernels that feed device buffers, exposed through
+// ctypes (no pybind11 in this image).
+//
+// Everything operates on caller-allocated flat arrays (int32/int64/double)
+// so the Python wrapper can hand in numpy buffers directly.
+//
+// Build: see build.py (g++ -O3 -shared -fPIC).
+
+#include <cstdint>
+#include <cstdio>
+#include <cstdlib>
+#include <cstring>
+#include <algorithm>
+#include <vector>
+
+extern "C" {
+
+// ---------------------------------------------------------------------------
+// COO -> CSR (sorted rows, columns sorted within each row, duplicates summed)
+// Two-phase: call with csr_* = nullptr to get the deduped nnz, then again
+// with buffers of that size.
+// ---------------------------------------------------------------------------
+int64_t coo_to_csr(
+    const int64_t* rows, const int64_t* cols, const double* vals, int64_t nnz,
+    int64_t n_rows,
+    int64_t* csr_indptr,   // (n_rows + 1) or nullptr
+    int32_t* csr_indices,  // (nnz_out,) or nullptr
+    double* csr_data)      // (nnz_out,) or nullptr
+{
+    // counting sort by row, then sort each row's (col, val) pairs
+    std::vector<int64_t> count(n_rows + 1, 0);
+    for (int64_t i = 0; i < nnz; ++i) count[rows[i] + 1]++;
+    for (int64_t r = 0; r < n_rows; ++r) count[r + 1] += count[r];
+
+    std::vector<int64_t> perm(nnz);
+    {
+        std::vector<int64_t> next(count.begin(), count.end() - 1);
+        for (int64_t i = 0; i < nnz; ++i) perm[next[rows[i]]++] = i;
+    }
+
+    // per-row sort by column + dedup (sum duplicates)
+    std::vector<std::pair<int64_t, double>> buf;
+    int64_t out = 0;
+    for (int64_t r = 0; r < n_rows; ++r) {
+        int64_t lo = count[r], hi = count[r + 1];
+        buf.clear();
+        buf.reserve(hi - lo);
+        for (int64_t p = lo; p < hi; ++p) {
+            int64_t i = perm[p];
+            buf.emplace_back(cols[i], vals[i]);
+        }
+        std::sort(buf.begin(), buf.end(),
+                  [](const auto& a, const auto& b) { return a.first < b.first; });
+        if (csr_indptr) csr_indptr[r] = out;
+        for (size_t i = 0; i < buf.size();) {
+            int64_t c = buf[i].first;
+            double v = 0.0;
+            while (i < buf.size() && buf[i].first == c) v += buf[i++].second;
+            if (csr_indices) {
+                csr_indices[out] = (int32_t)c;
+                csr_data[out] = v;
+            }
+            ++out;
+        }
+    }
+    if (csr_indptr) csr_indptr[n_rows] = out;
+    return out;  // deduped nnz
+}
+
+// ---------------------------------------------------------------------------
+// Level scheduling for a strict-triangular dependency DAG (the construction
+// pass behind ops/triangular.py).  level[r] = 1 + max(level[deps]); rows
+// are visited in dependency order (ascending for lower, descending for
+// upper).  O(nnz).  Returns the number of levels.
+// ---------------------------------------------------------------------------
+int64_t level_schedule(
+    const int64_t* indptr, const int32_t* indices, int64_t n, int32_t lower,
+    int64_t* level /* out (n,) */)
+{
+    int64_t nlev = 0;
+    if (lower) {
+        for (int64_t r = 0; r < n; ++r) {
+            int64_t lv = 0;
+            for (int64_t p = indptr[r]; p < indptr[r + 1]; ++p) {
+                int64_t d = level[indices[p]] + 1;
+                lv = d > lv ? d : lv;
+            }
+            level[r] = lv;
+            nlev = lv + 1 > nlev ? lv + 1 : nlev;
+        }
+    } else {
+        for (int64_t r = n - 1; r >= 0; --r) {
+            int64_t lv = 0;
+            for (int64_t p = indptr[r]; p < indptr[r + 1]; ++p) {
+                int64_t d = level[indices[p]] + 1;
+                lv = d > lv ? d : lv;
+            }
+            level[r] = lv;
+            nlev = lv + 1 > nlev ? lv + 1 : nlev;
+        }
+    }
+    return nlev == 0 && n > 0 ? 1 : nlev;
+}
+
+// ---------------------------------------------------------------------------
+// CSR -> ELL padding (row-major (n, width) data/cols, zero padding)
+// ---------------------------------------------------------------------------
+void csr_to_ell(
+    const int64_t* indptr, const int32_t* indices, const double* data,
+    int64_t n, int64_t width,
+    int32_t* ell_cols, double* ell_data)
+{
+    for (int64_t r = 0; r < n; ++r) {
+        int64_t lo = indptr[r], hi = indptr[r + 1];
+        int64_t w = std::min(hi - lo, width);
+        for (int64_t i = 0; i < w; ++i) {
+            ell_cols[r * width + i] = indices[lo + i];
+            ell_data[r * width + i] = data[lo + i];
+        }
+        for (int64_t i = w; i < width; ++i) {
+            ell_cols[r * width + i] = 0;
+            ell_data[r * width + i] = 0.0;
+        }
+    }
+}
+
+// ---------------------------------------------------------------------------
+// MatrixMarket reader (coordinate real/integer/pattern, general/symmetric/
+// skew-symmetric).  Two-phase like coo_to_csr:
+//   phase 1 (rows == nullptr): returns entry count after symmetry expansion,
+//            writes shape into shape_out[0..1]
+//   phase 2: fills rows/cols (0-based) and vals.
+// Returns -1 on parse error, -2 on unsupported format (complex).
+// ---------------------------------------------------------------------------
+int64_t mm_read(
+    const char* path,
+    int64_t* shape_out,  // (2,)
+    int64_t* rows, int64_t* cols, double* vals)
+{
+    FILE* f = fopen(path, "r");
+    if (!f) return -1;
+    char line[1024];
+    if (!fgets(line, sizeof line, f)) { fclose(f); return -1; }
+    char banner[64], object[64], format[64], field[64], symmetry[64];
+    if (sscanf(line, "%63s %63s %63s %63s %63s",
+               banner, object, format, field, symmetry) != 5) {
+        fclose(f); return -1;
+    }
+    bool pattern = strcmp(field, "pattern") == 0;
+    bool complex_ = strcmp(field, "complex") == 0;
+    bool symmetric = strcmp(symmetry, "symmetric") == 0;
+    bool skew = strcmp(symmetry, "skew-symmetric") == 0;
+    if (strcmp(format, "coordinate") != 0 || complex_) { fclose(f); return -2; }
+
+    // skip comments
+    long pos;
+    do {
+        pos = ftell(f);
+        if (!fgets(line, sizeof line, f)) { fclose(f); return -1; }
+    } while (line[0] == '%');
+    fseek(f, pos, SEEK_SET);
+
+    int64_t m, n, nnz;
+    if (fscanf(f, "%ld %ld %ld", &m, &n, &nnz) != 3) { fclose(f); return -1; }
+    shape_out[0] = m;
+    shape_out[1] = n;
+
+    int64_t out = 0;
+    for (int64_t i = 0; i < nnz; ++i) {
+        int64_t r, c;
+        double v = 1.0;
+        if (pattern) {
+            if (fscanf(f, "%ld %ld", &r, &c) != 2) { fclose(f); return -1; }
+        } else {
+            if (fscanf(f, "%ld %ld %lf", &r, &c, &v) != 3) { fclose(f); return -1; }
+        }
+        if (rows) {
+            rows[out] = r - 1; cols[out] = c - 1; vals[out] = v;
+        }
+        ++out;
+        if ((symmetric || skew) && r != c) {
+            if (rows) {
+                rows[out] = c - 1; cols[out] = r - 1;
+                vals[out] = skew ? -v : v;
+            }
+            ++out;
+        }
+    }
+    fclose(f);
+    return out;
+}
+
+// ---------------------------------------------------------------------------
+// Diagonal extraction (~ DiagonalIndices, src/stationary_sparse.jl:6-28):
+// writes diag values; returns index of first missing/zero diagonal entry,
+// or -1 if all present and nonzero.
+// ---------------------------------------------------------------------------
+int64_t extract_diagonal(
+    const int64_t* indptr, const int32_t* indices, const double* data,
+    int64_t n, double* diag)
+{
+    int64_t bad = -1;
+    for (int64_t r = 0; r < n; ++r) {
+        double v = 0.0;
+        bool found = false;
+        for (int64_t p = indptr[r]; p < indptr[r + 1]; ++p) {
+            if (indices[p] == r) { v = data[p]; found = true; break; }
+        }
+        diag[r] = v;
+        if ((!found || v == 0.0) && bad < 0) bad = r;
+    }
+    return bad;
+}
+
+}  // extern "C"

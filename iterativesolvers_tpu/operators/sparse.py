@@ -52,6 +52,12 @@ class CSRMatrix(LinearOperator):
         rows = np.asarray(rows, dtype=np.int64)
         cols = np.asarray(cols, dtype=np.int64)
         vals = np.asarray(vals)
+        if not np.iscomplexobj(vals):
+            # native O(nnz) counting-sort path (itsolvers_native.cpp)
+            from ..native import coo_to_csr
+
+            indptr, indices, data64 = coo_to_csr(rows, cols, vals, shape[0])
+            return cls(data64.astype(vals.dtype), indices, indptr, shape)
         order = np.lexsort((cols, rows))
         rows, cols, vals = rows[order], cols[order], vals[order]
         # merge duplicates
@@ -104,10 +110,15 @@ class CSRMatrix(LinearOperator):
         k = int(counts.max()) if row_width is None else int(row_width)
         k = max(k, 1)
         n = self._shape[0]
-        data = np.zeros((n, k), dtype=np.asarray(self.data).dtype)
-        cols = np.zeros((n, k), dtype=np.int32)
         host_data = np.asarray(self.data)
         host_idx = np.asarray(self.indices)
+        if not np.iscomplexobj(host_data):
+            from ..native import csr_to_ell
+
+            cols, data64 = csr_to_ell(indptr, host_idx, host_data, n, k)
+            return ELLMatrix(data64.astype(host_data.dtype), cols, self._shape)
+        data = np.zeros((n, k), dtype=host_data.dtype)
+        cols = np.zeros((n, k), dtype=np.int32)
         for i in range(n):
             lo, hi = indptr[i], indptr[i + 1]
             w = min(hi - lo, k)

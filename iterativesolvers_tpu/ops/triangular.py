@@ -60,12 +60,9 @@ class LevelScheduledTriangular:
         diag = np.asarray(diag)
         n = diag.shape[0]
 
-        level = np.zeros(n, dtype=np.int64)
-        order = range(n) if lower else range(n - 1, -1, -1)
-        for r in order:
-            deps = indices[indptr[r] : indptr[r + 1]]
-            if deps.size:
-                level[r] = level[deps].max() + 1
+        from ..native import level_schedule
+
+        level = level_schedule(indptr, indices, n, lower)  # O(nnz) native pass
         nlev = int(level.max()) + 1 if n else 1
 
         by_level = [np.where(level == l)[0] for l in range(nlev)]

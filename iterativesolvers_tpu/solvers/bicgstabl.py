@@ -25,7 +25,7 @@ import jax.numpy as jnp
 from ..operators.linear_operator import as_operator
 from ..operators.preconditioners import as_preconditioner
 from ..utils.dtypes import real_dtype, solve_dtype
-from .common import SolveResult, make_history, norm, resolve_tols, tolerance, vdot, with_highest_precision
+from .common import SolveResult, make_history, norm, resolve_tols, tolerance, vdot, with_highest_precision, run_chunked
 
 __all__ = ["bicgstabl"]
 
@@ -115,8 +115,8 @@ def _bicgstabl_core(op, b, x0, Pl, r_shadow, reltol, abstol, l, max_mv,
             resnorm_log=s.resnorm_log.at[s.k].set(residual),
         )
 
-    final = jax.lax.while_loop(
-        lambda s: (s.mv < max_mv) & (s.residual > s.tol), body, state0
+    final = run_chunked(
+        body, lambda s: (s.mv >= max_mv) | (s.residual <= s.tol), state0
     )
     return SolveResult(
         x=final.x,

@@ -29,7 +29,7 @@ import jax.numpy as jnp
 from ..operators.linear_operator import as_operator
 from ..operators.preconditioners import as_preconditioner, is_identity
 from ..utils.dtypes import real_dtype, solve_dtype
-from .common import SolveResult, SolverIterator, make_history, norm, resolve_tols, tolerance, vdot
+from .common import SolveResult, SolverIterator, make_history, norm, resolve_tols, tolerance, vdot, run_chunked
 
 __all__ = ["cg", "cg_iterator", "CGState"]
 
@@ -96,9 +96,9 @@ def _cg_done(state: CGState, maxiter: int):
 @partial(jax.jit, static_argnames=("maxiter", "initially_zero", "verbose"))
 def _cg_solve(op, b, x0, Pl, reltol, abstol, maxiter, initially_zero, verbose):
     state0 = _cg_init(op, b, x0, reltol, abstol, maxiter, initially_zero)
-    final = jax.lax.while_loop(
-        lambda s: ~_cg_done(s, maxiter),
+    final = run_chunked(
         lambda s: _cg_step(op, Pl, s, verbose),
+        lambda s: _cg_done(s, maxiter),
         state0,
     )
     return SolveResult(

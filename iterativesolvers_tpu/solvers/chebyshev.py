@@ -30,7 +30,7 @@ import jax.numpy as jnp
 from ..operators.linear_operator import as_operator
 from ..operators.preconditioners import as_preconditioner
 from ..utils.dtypes import real_dtype, solve_dtype
-from .common import SolveResult, make_history, norm, resolve_tols, tolerance
+from .common import SolveResult, make_history, norm, resolve_tols, tolerance, run_chunked
 
 __all__ = ["chebyshev"]
 
@@ -92,8 +92,8 @@ def _cheb_core(op, b, x0, Pl, lmin, lmax, reltol, abstol, maxiter, initially_zer
             resnorm_log=s.resnorm_log.at[s.k].set(residual),
         )
 
-    final = jax.lax.while_loop(
-        lambda s: (s.k < maxiter) & (s.residual > s.tol), body, state0
+    final = run_chunked(
+        body, lambda s: (s.k >= maxiter) | (s.residual <= s.tol), state0
     )
     return SolveResult(
         x=final.x,

@@ -147,3 +147,27 @@ def with_highest_precision(f):
             return f(*args, **kwargs)
 
     return g
+
+
+def run_chunked(step, done, state, chunk: int = 16):
+    """Drive ``state = step(state)`` until ``done(state)``, checking the
+    data-dependent exit only once per ``chunk`` steps.
+
+    On the remote-attached TPU backend a ``lax.while_loop`` whose condition
+    depends on device data synchronizes the sequencer every trip (~ms each —
+    measured 1.9 ms/iter vs 66 us of actual CG-iteration compute).  Chunking
+    amortizes that sync: the inner ``fori_loop`` runs ``chunk`` steps, each
+    individually guarded by ``lax.cond(done, identity, step)`` so no step
+    ever executes past convergence — numerics are *identical* to the
+    per-iteration-checked loop, only the exit granularity changes.
+    """
+    if chunk <= 1:
+        return jax.lax.while_loop(lambda s: ~done(s), step, state)
+
+    def guarded(_, s):
+        return jax.lax.cond(done(s), lambda t: t, step, s)
+
+    def body(s):
+        return jax.lax.fori_loop(0, chunk, guarded, s)
+
+    return jax.lax.while_loop(lambda s: ~done(s), body, state)

@@ -36,7 +36,7 @@ from ..ops.givens import apply_givens, givens
 from ..ops.hessenberg import back_substitute
 from ..ops.orthogonalize import orthogonalize_and_normalize
 from ..utils.dtypes import real_dtype, solve_dtype
-from .common import SolveResult, make_history, norm, resolve_tols, tolerance, with_highest_precision
+from .common import SolveResult, make_history, norm, resolve_tols, tolerance, with_highest_precision, run_chunked
 
 __all__ = ["gmres"]
 
@@ -163,7 +163,7 @@ def _gmres_core(op, b, x0, Pl, Pr, reltol, abstol, restart, maxiter,
 
         return jax.lax.cond(cycle_over, do_finalize, lambda st: st, s)
 
-    final = jax.lax.while_loop(cond, body, state)
+    final = run_chunked(body, lambda s: ~cond(s), state)
     return SolveResult(
         x=final.x,
         iters=final.kt,

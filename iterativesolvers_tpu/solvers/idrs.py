@@ -26,7 +26,7 @@ import jax.numpy as jnp
 from ..operators.linear_operator import as_operator
 from ..operators.preconditioners import as_preconditioner
 from ..utils.dtypes import real_dtype, solve_dtype
-from .common import SolveResult, make_history, norm, resolve_tols, tolerance, vdot, with_highest_precision
+from .common import SolveResult, make_history, norm, resolve_tols, tolerance, vdot, with_highest_precision, run_chunked
 
 __all__ = ["idrs"]
 
@@ -158,8 +158,8 @@ def _idrs_core(op, b, x0, Pl, P, reltol, abstol, s, maxiter, smoothing,
     def body(st):
         return jax.lax.cond(st.step < s, k_step, reduction_step, st)
 
-    final = jax.lax.while_loop(
-        lambda st: (st.it < maxiter) & (st.normR >= st.tol), body, state0
+    final = run_chunked(
+        body, lambda st: (st.it >= maxiter) | (st.normR < st.tol), state0
     )
     X_out = final.X_s if smoothing else final.X
     return SolveResult(

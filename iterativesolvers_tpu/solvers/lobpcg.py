@@ -292,7 +292,9 @@ def _lobpcg_run(opA, opB, prec, X0, Y, BY, largest, tol, maxiter):
         def cond(S):
             return (S.it < maxiter) & jnp.any(S.resnorms > tol)
 
-        S = jax.lax.while_loop(cond, main_step, S)
+        from .common import run_chunked
+
+        S = run_chunked(main_step, lambda s: ~cond(s), S, chunk=4)
         R_blk = S.AX - S.BX * S.lam[None, :]
         return S, jnp.linalg.norm(R_blk, axis=0)
 

@@ -22,7 +22,7 @@ import numpy as np
 
 from ..operators.linear_operator import as_operator
 from ..utils.dtypes import real_dtype, solve_dtype
-from .common import SolveResult, make_history, norm
+from .common import SolveResult, make_history, norm, run_chunked
 
 __all__ = ["lsmr"]
 
@@ -220,8 +220,9 @@ def _lsmr_solve(op, b, x0, lam, atol, btol, ctol, maxiter, verbose):
     def cond(s):
         return (s.iter < maxiter) & (s.istop == 0) & (normAr0 != 0)
 
-    final = jax.lax.while_loop(
-        cond, lambda s: _lsmr_step(op, lam, atol, btol, ctol, maxiter, s, verbose),
+    final = run_chunked(
+        lambda s: _lsmr_step(op, lam, atol, btol, ctol, maxiter, s, verbose),
+        lambda s: ~cond(s),
         state0,
     )
     # converged = istop not in (3, 6, 7) (src/lsmr.jl:285)

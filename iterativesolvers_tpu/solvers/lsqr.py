@@ -36,7 +36,7 @@ import numpy as np
 
 from ..operators.linear_operator import as_operator
 from ..utils.dtypes import real_dtype, solve_dtype
-from .common import SolveResult, make_history, norm
+from .common import SolveResult, make_history, norm, run_chunked
 
 __all__ = ["lsqr"]
 
@@ -209,8 +209,9 @@ def _lsqr_solve(op, b, x0, damp, atol, btol, ctol, maxiter, verbose):
         # Arnorm == 0 early return (src/lsqr.jl:141-144)
         return (s.itn < maxiter) & (s.istop == 0) & (arnorm0 != 0)
 
-    final = jax.lax.while_loop(
-        cond, lambda s: _lsqr_step(op, damp, atol, btol, ctol, maxiter, s, verbose),
+    final = run_chunked(
+        lambda s: _lsqr_step(op, damp, atol, btol, ctol, maxiter, s, verbose),
+        lambda s: ~cond(s),
         state0,
     )
     return SolveResult(

@@ -24,7 +24,7 @@ import jax.numpy as jnp
 from ..operators.linear_operator import as_operator
 from ..ops.givens import givens
 from ..utils.dtypes import real_dtype, solve_dtype
-from .common import SolveResult, SolverIterator, make_history, norm, resolve_tols, tolerance, vdot
+from .common import SolveResult, SolverIterator, make_history, norm, resolve_tols, tolerance, vdot, run_chunked
 
 __all__ = ["minres", "minres_iterator"]
 
@@ -128,9 +128,9 @@ def _minres_done(state: MINRESState, maxiter: int):
 
 def _minres_core(op, b, x0, reltol, abstol, maxiter, initially_zero, skew):
     state0 = _minres_init(op, b, x0, reltol, abstol, maxiter, initially_zero, skew)
-    final = jax.lax.while_loop(
-        lambda s: ~_minres_done(s, maxiter),
+    final = run_chunked(
         lambda s: _minres_step(op, s, skew),
+        lambda s: _minres_done(s, maxiter),
         state0,
     )
     return SolveResult(

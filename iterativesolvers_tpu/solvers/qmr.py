@@ -26,7 +26,7 @@ import jax.numpy as jnp
 from ..operators.linear_operator import as_operator
 from ..ops.givens import givens
 from ..utils.dtypes import real_dtype, solve_dtype
-from .common import SolveResult, make_history, norm, resolve_tols, tolerance, vdot, with_highest_precision
+from .common import SolveResult, make_history, norm, resolve_tols, tolerance, vdot, with_highest_precision, run_chunked
 
 __all__ = ["qmr"]
 
@@ -125,8 +125,8 @@ def _qmr_core(op, b, x0, reltol, abstol, maxiter, initially_zero):
             resnorm_log=s.resnorm_log.at[s.k].set(residual),
         )
 
-    final = jax.lax.while_loop(
-        lambda s: (s.k < maxiter) & (s.residual > s.tol), body, state0
+    final = run_chunked(
+        body, lambda s: (s.k >= maxiter) | (s.residual <= s.tol), state0
     )
     return SolveResult(
         x=final.x,

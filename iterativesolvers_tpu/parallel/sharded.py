@@ -65,11 +65,12 @@ def replicate(x, mesh: Mesh):
 
 
 def shard_dia(A: DIAMatrix, mesh: Mesh) -> DIAMatrix:
-    """Row-shard a DIA operator: data is (ndiag, n), so shard axis 1.
+    """Row-shard a DIA operator: each 1-D diagonal is row-sharded.
     The returned operator works unchanged in every solver; XLA partitions
     the shifted reads in ``DIAMatrix.mv`` with collective-permutes."""
-    data = jax.device_put(A.data, NamedSharding(mesh, P(None, ROW_AXIS)))
-    return DIAMatrix(data, A.offsets, A.shape)
+    sh = NamedSharding(mesh, P(ROW_AXIS))
+    diags = tuple(jax.device_put(d, sh) for d in A.diags)
+    return DIAMatrix(diags, A.offsets, A.shape)
 
 
 # ---------------------------------------------------------------------------
@@ -111,9 +112,9 @@ class HaloDIAOperator(LinearOperator):
         self.n_local = n_local
         self.offsets = dia.offsets
         self._shape = dia.shape
-        self.data = jax.device_put(
-            dia.data, NamedSharding(mesh, P(None, ROW_AXIS))
-        )
+        sh = NamedSharding(mesh, P(ROW_AXIS))
+        # tuple-of-1-D storage (see DIAMatrix): row-sharded contiguous streams
+        self.diags = tuple(jax.device_put(d, sh) for d in dia.diags)
 
     @property
     def shape(self):
@@ -121,13 +122,13 @@ class HaloDIAOperator(LinearOperator):
 
     @property
     def dtype(self):
-        return self.data.dtype
+        return self.diags[0].dtype
 
     def mv(self, x):
         halo, offsets, n_local = self.halo, self.offsets, self.n_local
         D = self.mesh.shape[ROW_AXIS]
 
-        def local_mv(data_loc, x_loc):
+        def local_mv(diags_loc, x_loc):
             # x_loc: (n_local,) or (n_local, k)
             if halo > 0 and D > 1:
                 fwd = [(i, (i + 1) % D) for i in range(D)]
@@ -140,7 +141,8 @@ class HaloDIAOperator(LinearOperator):
             x_ext = jnp.concatenate([left, x_loc, right], axis=0)
             y = jnp.zeros_like(x_loc)
             for kk, off in enumerate(offsets):
-                d = data_loc[kk] if x_loc.ndim == 1 else data_loc[kk][:, None]
+                dk = diags_loc[kk]
+                d = dk if x_loc.ndim == 1 else dk[:, None]
                 y = y + d * jax.lax.dynamic_slice_in_dim(
                     x_ext, halo + off, n_local, axis=0
                 )
@@ -150,9 +152,9 @@ class HaloDIAOperator(LinearOperator):
         return jax.shard_map(
             local_mv,
             mesh=self.mesh,
-            in_specs=(P(None, ROW_AXIS), vec_spec),
+            in_specs=(P(ROW_AXIS), vec_spec),
             out_specs=vec_spec,
-        )(self.data, x)
+        )(self.diags, x)
 
     def rmv(self, x):
         # A^H for DIA: offset o of A^H holds conj(A) offset -o data shifted;
@@ -160,7 +162,7 @@ class HaloDIAOperator(LinearOperator):
         halo, offsets, n_local = self.halo, self.offsets, self.n_local
         D = self.mesh.shape[ROW_AXIS]
 
-        def local_rmv(data_loc, x_loc):
+        def local_rmv(diags_loc, x_loc):
             if halo > 0 and D > 1:
                 fwd = [(i, (i + 1) % D) for i in range(D)]
                 bwd = [(i, (i - 1) % D) for i in range(D)]
@@ -176,7 +178,7 @@ class HaloDIAOperator(LinearOperator):
             # so we also need the halo of each *data* row; exchange it the
             # same way as x.
             for kk, off in enumerate(offsets):
-                drow = data_loc[kk]
+                drow = diags_loc[kk]
                 if halo > 0 and D > 1:
                     dl = jax.lax.ppermute(drow[-halo:], ROW_AXIS, perm=fwd)
                     dr = jax.lax.ppermute(drow[:halo], ROW_AXIS, perm=bwd)
@@ -198,16 +200,16 @@ class HaloDIAOperator(LinearOperator):
         return jax.shard_map(
             local_rmv,
             mesh=self.mesh,
-            in_specs=(P(None, ROW_AXIS), vec_spec),
+            in_specs=(P(ROW_AXIS), vec_spec),
             out_specs=vec_spec,
-        )(self.data, x)
+        )(self.diags, x)
 
     def tree_flatten(self):
-        return (self.data,), (self.mesh, self.halo, self.n_local, self.offsets, self._shape)
+        return (self.diags,), (self.mesh, self.halo, self.n_local, self.offsets, self._shape)
 
     @classmethod
     def tree_unflatten(cls, aux, leaves):
         obj = object.__new__(cls)
-        (obj.data,) = leaves
+        (obj.diags,) = leaves
         obj.mesh, obj.halo, obj.n_local, obj.offsets, obj._shape = aux
         return obj

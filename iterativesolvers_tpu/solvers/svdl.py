@@ -136,6 +136,80 @@ def _restart_and_extend(op, L: PartialFactorization, U, s, V, conv_mask,
     return PartialFactorization(Pn, Qn, Bn, beta)
 
 
+@partial(jax.jit, static_argnames=("op_l", "op_k"))
+@with_highest_precision
+def _harmonic_restart_and_extend(op, L: PartialFactorization, U0, s, V0,
+                                 op_l: int, op_k: int):
+    """Thick restart with harmonic Ritz values, then extend back to k
+    (~ harmonicrestart!, src/svdl.jl:424-494; Baglama & Reichel 2005).
+
+    Real dtypes only (the reference constrains F::SVD{Tr,Tr} likewise).
+    The restarted factorization has l+1 complete (P, Q) column pairs and an
+    upper-triangular leading block in B; a GKL half-step then produces
+    q_{l+2} so the standard extension loop can take over at j0 = l+1.
+    """
+    l, k = op_l, op_k
+    m, n = op.shape
+    dtype = L.P.dtype
+    beta = L.beta
+    Bsq = L.B[:, :k]
+
+    rho = beta * U0[k - 1, :]                              # (k,)
+    BA = jnp.concatenate([jnp.diag(s), rho[:, None]], axis=1)   # (k, k+1)
+    U2, S2, V2t = jnp.linalg.svd(BA, full_matrices=True)
+    V2 = V2t.T                                              # (k+1, k+1)
+    Sig = S2[:l]
+    Unew = U0 @ U2[:, :l]                                   # (k, l)
+
+    M = jnp.zeros((k + 1, k + 1), dtype).at[:k, :k].set(V0).at[k, k].set(1.0)
+    M = M @ V2                                              # (k+1, k+1)
+    Mend = M[k, :l]                                         # (l,)
+
+    e_last = jnp.zeros((k,), dtype).at[k - 1].set(1.0)
+    # scaled residual r = beta * B^{-1} e_k; lstsq ~ the reference's pinv
+    # fallback on singular B (src/svdl.jl:451-459)
+    r = jnp.linalg.lstsq(Bsq, e_last[:, None])[0][:, 0] * beta
+    Mm = M[:k, :] + r[:, None] * M[k:k + 1, :]              # (k, k+1)
+
+    M2 = (
+        jnp.zeros((k + 1, l + 1), dtype)
+        .at[:k, :l].set(Mm[:, :l])
+        .at[:k, l].set(-r)
+        .at[k, l].set(1.0)
+    )
+    Qf, Rf = jnp.linalg.qr(M2, mode="reduced")              # (k+1,l+1), (l+1,l+1)
+    Qn = L.Q[:, :k + 1] @ Qf                                # (n, l+1)
+    Pn = L.P @ Unew                                         # (m, l)
+    R = Rf[:, :l] + Rf[:, l:l + 1] @ Mend[None, :]          # (l+1, l)
+
+    # continue the factorization: f = A q_{l+1} orthogonalized against P
+    f = op.mv(Qn[:, l])
+    f = f - Pn @ (Pn.conj().T @ f)
+    alpha = norm(f)
+    inv_a = jnp.where(alpha > 0, 1.0 / jnp.where(alpha > 0, alpha, 1.0), 0.0)
+    f = f * inv_a
+
+    Bsmall = jnp.vstack([
+        jnp.diag(Sig) @ jnp.triu(R.T),                      # (l, l+1)
+        jnp.zeros((1, l + 1), dtype).at[0, l].set(alpha),
+    ])                                                      # (l+1, l+1)
+
+    P = jnp.zeros((m, k), dtype).at[:, :l].set(Pn).at[:, l].set(f)
+    Q = jnp.zeros((n, k + 1), dtype).at[:, :l + 1].set(Qn)
+    B = jnp.zeros((k, k + 1), dtype).at[:l + 1, :l + 1].set(Bsmall)
+
+    # GKL half-step: q_{l+2} from A'f, then the standard loop at j0 = l+1
+    g = op.rmv(f)
+    g = _reorth(Q, g)
+    beta2 = norm(g)
+    inv_b = jnp.where(beta2 > 0, 1.0 / jnp.where(beta2 > 0, beta2, 1.0), 0.0)
+    Q = Q.at[:, l + 1].set(g * inv_b)
+    B = B.at[l, l + 1].set(beta2)
+
+    P, Q, B, beta_out = _gkl_extend(op, P, Q, B, l + 1, k)
+    return PartialFactorization(P, Q, B, beta_out)
+
+
 @jax.jit
 @with_highest_precision
 def _ritz_and_bounds(L: PartialFactorization):
@@ -178,20 +252,21 @@ def svdl(
     min(m, n)``, ``vecs in ('none', 'left', 'right', 'both')``.
 
     ``method='ritz'`` is the thick restart of Wu & Simon; ``'harmonic'``
-    (harmonic Ritz restart, src/svdl.jl:424-494) is not yet implemented.
+    restarts with harmonic Ritz values (Baglama & Reichel,
+    src/svdl.jl:424-494; real operators only).
 
     Returns ``(values, fact)`` for ``vecs='none'``, else
     ``((leftvecs, values, rightvecs_T), fact)``; append history when
     ``log=True``.
     """
-    if method == "harmonic":
-        raise NotImplementedError(
-            "harmonic restart (src/svdl.jl:424-494) lands in a later round; "
-            "use method='ritz'"
-        )
-    if method != "ritz":
+    if method not in ("ritz", "harmonic"):
         raise ValueError(f"unknown restart method {method!r}")
     op = as_operator(A)
+    if method == "harmonic" and np.issubdtype(np.dtype(op.dtype), np.complexfloating):
+        raise ValueError(
+            "harmonic restart supports real operators only "
+            "(the reference constrains F::SVD{Tr,Tr}, src/svdl.jl:425-426)"
+        )
     m, n = op.shape
     l = int(nsv)
     k = int(k if k is not None else 2 * l)
@@ -232,9 +307,12 @@ def svdl(
         if conv[:l].all():
             converged = True
             break
-        L = _restart_and_extend(
-            op, L, U, s, V, jnp.asarray(conv), j, k, dolock
-        )
+        if method == "harmonic":
+            L = _harmonic_restart_and_extend(op, L, U, s, V, j, k)
+        else:
+            L = _restart_and_extend(
+                op, L, U, s, V, jnp.asarray(conv), j, k, dolock
+            )
 
     values = s[:l]
     if history is not None:

@@ -68,9 +68,20 @@ def test_low_rank_matrix(rng):
     np.testing.assert_allclose(np.asarray(vals), s_ref[:3], rtol=1e-7)
 
 
-def test_harmonic_not_implemented(rng):
-    with pytest.raises(NotImplementedError):
-        svdl(rng.random((20, 20)), method="harmonic")
+def test_harmonic_restart(rng):
+    """Harmonic-Ritz restart converges to the same top singular values
+    (~ benchmark/benchmark-svd-florida.jl comparing :ritz vs :harmonic)."""
+    m, n = 70, 50
+    A = rng.random((m, n))
+    s_ref = np.linalg.svd(A, compute_uv=False)
+    vals, L, h = svdl(A, nsv=4, method="harmonic", tol=1e-9, maxiter=300, log=True)
+    assert h.isconverged
+    np.testing.assert_allclose(np.asarray(vals), s_ref[:4], rtol=1e-7)
+
+
+def test_harmonic_complex_raises(rng):
+    with pytest.raises(ValueError):
+        svdl(rng.random((20, 20)).astype(np.complex128), method="harmonic")
 
 
 def test_k_guard(rng):

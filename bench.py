@@ -53,18 +53,23 @@ def main():
     nnz = int(np.count_nonzero(np.asarray(A.data)))
     b = jnp.ones((n,), jnp.float32)
 
-    maxiter = 200
-    # warm-up / compile
-    x = its.cg(A, b, reltol=1e-6, maxiter=maxiter)
-    x.block_until_ready()
-
-    runs = 3
-    t0 = time.perf_counter()
-    for _ in range(runs):
-        x, h = its.cg(A, b, reltol=1e-6, maxiter=maxiter, log=True)
+    # Differential timing: the remote-attached TPU adds ~ms of per-call
+    # dispatch latency, so time two solve lengths and difference them to get
+    # pure per-iteration device time.  reltol=0 keeps both runs at full
+    # maxiter (the 1e-6 target needs > 300 iters on this problem anyway).
+    def timed_solve(maxiter, runs=5):
+        x = its.cg(A, b, reltol=0.0, abstol=1e-30, maxiter=maxiter)
         x.block_until_ready()
-    dt = (time.perf_counter() - t0) / runs
-    iters = int(h.iters)
+        t0 = time.perf_counter()
+        for _ in range(runs):
+            x = its.cg(A, b, reltol=0.0, abstol=1e-30, maxiter=maxiter)
+        x.block_until_ready()
+        return (time.perf_counter() - t0) / runs
+
+    t_long = timed_solve(200)
+    t_short = timed_solve(50)
+    iters = 150
+    dt = t_long - t_short  # time for 150 iterations, dispatch-free
 
     spmv_per_iter = 1
     nnz_per_s = nnz * spmv_per_iter * iters / dt
@@ -92,8 +97,9 @@ def main():
         "detail": {
             "n": n,
             "nnz": nnz,
-            "iters": iters,
-            "sec_per_solve": round(dt, 4),
+            "timed_iters": iters,
+            "us_per_iter": round(achieved_iter_time * 1e6, 1),
+            "sec_200_iter_solve": round(t_long, 4),
             "frac_hbm_roofline": round(frac_roofline, 4),
             "device": str(jax.devices()[0].device_kind),
         },

@@ -23,16 +23,16 @@ from .operators.preconditioners import (
     as_preconditioner,
 )
 from .operators.sparse import CSRMatrix, DIAMatrix, ELLMatrix, csr_from_dense, dia_from_dense
-from .solvers.bicgstabl import bicgstabl
+from .solvers.bicgstabl import bicgstabl, bicgstabl_iterator
 from .solvers.cg import cg, cg_iterator
-from .solvers.chebyshev import chebyshev
-from .solvers.gmres import gmres
-from .solvers.idrs import idrs
+from .solvers.chebyshev import chebyshev, chebyshev_iterator
+from .solvers.gmres import gmres, gmres_iterator
+from .solvers.idrs import idrs, idrs_iterator
 from .solvers.minres import minres, minres_iterator
 from .solvers.lobpcg import LOBPCGResults, lobpcg
 from .solvers.lsmr import lsmr
 from .solvers.lsqr import lsqr
-from .solvers.qmr import qmr
+from .solvers.qmr import qmr, qmr_iterator
 from .solvers.simple import invpowm, powm, powm_iterator
 from .solvers.svdl import svdl
 from .solvers.stationary import (

@@ -25,9 +25,9 @@ import jax.numpy as jnp
 from ..operators.linear_operator import as_operator
 from ..operators.preconditioners import as_preconditioner
 from ..utils.dtypes import real_dtype, solve_dtype
-from .common import SolveResult, make_history, norm, resolve_tols, tolerance, vdot, with_highest_precision, run_chunked
+from .common import SolveResult, make_history, norm, resolve_tols, tolerance, vdot, with_highest_precision, run_chunked, SolverIterator
 
-__all__ = ["bicgstabl"]
+__all__ = ["bicgstabl", "bicgstabl_iterator"]
 
 
 class BiCGStabState(NamedTuple):
@@ -52,8 +52,10 @@ def _random_like(key, n, dtype):
     return jax.random.uniform(key, (n,), dtype=dtype)
 
 
-def _bicgstabl_core(op, b, x0, Pl, r_shadow, reltol, abstol, l, max_mv,
-                    initially_zero):
+def _bicgstabl_prepare(op, b, x0, Pl, r_shadow, reltol, abstol, l, max_mv,
+                       initially_zero):
+    """(state0, step, done) shared by the jitted core and the eager iterator
+    (~ bicgstabl_iterator!, src/bicgstabl.jl:55-76)."""
     dtype = solve_dtype(op.dtype, b.dtype)
     n = b.shape[0]
     x = x0.astype(dtype)
@@ -115,9 +117,15 @@ def _bicgstabl_core(op, b, x0, Pl, r_shadow, reltol, abstol, l, max_mv,
             resnorm_log=s.resnorm_log.at[s.k].set(residual),
         )
 
-    final = run_chunked(
-        body, lambda s: (s.mv >= max_mv) | (s.residual <= s.tol), state0
+    return state0, body, lambda s: (s.mv >= max_mv) | (s.residual <= s.tol)
+
+
+def _bicgstabl_core(op, b, x0, Pl, r_shadow, reltol, abstol, l, max_mv,
+                    initially_zero):
+    state0, step, done = _bicgstabl_prepare(
+        op, b, x0, Pl, r_shadow, reltol, abstol, l, max_mv, initially_zero
     )
+    final = run_chunked(step, done, state0)
     return SolveResult(
         x=final.x,
         iters=final.k,
@@ -169,3 +177,35 @@ def bicgstabl(
     history["abstol"] = float(abstol_)
     history["reltol"] = float(reltol_)
     return res.x, history
+
+
+def bicgstabl_iterator(
+    A,
+    b,
+    l: int = 2,
+    *,
+    x0=None,
+    Pl=None,
+    abstol: float | None = None,
+    reltol: float | None = None,
+    max_mv_products: int | None = None,
+    seed: int = 0,
+) -> SolverIterator:
+    """Eager BiCGStab(l) iterator (~ ``bicgstabl_iterator!``,
+    src/bicgstabl.jl:55-76): yields the residual norm per l-cycle."""
+    op = as_operator(A, b)
+    Pl = as_preconditioner(Pl)
+    b = jnp.asarray(b)
+    n = op.shape[1]
+    max_mv = int(max_mv_products if max_mv_products is not None else n)
+    initially_zero = x0 is None
+    dtype = solve_dtype(op.dtype, b.dtype)
+    if x0 is None:
+        x0 = jnp.zeros(n, dtype=dtype)
+    reltol_, abstol_ = resolve_tols(dtype, reltol, abstol)
+    r_shadow = _random_like(jax.random.PRNGKey(seed), n, dtype)
+    state0, step, done = _bicgstabl_prepare(
+        op, b, jnp.asarray(x0), Pl, r_shadow, reltol_, abstol_, int(l), max_mv,
+        initially_zero,
+    )
+    return SolverIterator(state0, step=step, done=done, extract=lambda s: s.residual)

@@ -30,9 +30,17 @@ import jax.numpy as jnp
 from ..operators.linear_operator import as_operator
 from ..operators.preconditioners import as_preconditioner
 from ..utils.dtypes import real_dtype, solve_dtype
-from .common import SolveResult, make_history, norm, resolve_tols, tolerance, run_chunked
+from .common import (
+    SolveResult,
+    SolverIterator,
+    make_history,
+    norm,
+    resolve_tols,
+    run_chunked,
+    tolerance,
+)
 
-__all__ = ["chebyshev"]
+__all__ = ["chebyshev", "chebyshev_iterator"]
 
 
 class ChebyshevState(NamedTuple):
@@ -46,7 +54,9 @@ class ChebyshevState(NamedTuple):
     resnorm_log: jax.Array
 
 
-def _cheb_core(op, b, x0, Pl, lmin, lmax, reltol, abstol, maxiter, initially_zero):
+def _cheb_prepare(op, b, x0, Pl, lmin, lmax, reltol, abstol, maxiter, initially_zero):
+    """Build (state0, step, done) — shared by the jitted core and the
+    eager iterator (~ chebyshev_iterable!, src/chebyshev.jl:59-91)."""
     dtype = solve_dtype(op.dtype, b.dtype)
     rdt = real_dtype(dtype)
     d = jnp.asarray((lmax + lmin) / 2, rdt)
@@ -92,9 +102,14 @@ def _cheb_core(op, b, x0, Pl, lmin, lmax, reltol, abstol, maxiter, initially_zer
             resnorm_log=s.resnorm_log.at[s.k].set(residual),
         )
 
-    final = run_chunked(
-        body, lambda s: (s.k >= maxiter) | (s.residual <= s.tol), state0
+    return state0, body, lambda s: (s.k >= maxiter) | (s.residual <= s.tol)
+
+
+def _cheb_core(op, b, x0, Pl, lmin, lmax, reltol, abstol, maxiter, initially_zero):
+    state0, step, done = _cheb_prepare(
+        op, b, x0, Pl, lmin, lmax, reltol, abstol, maxiter, initially_zero
     )
+    final = run_chunked(step, done, state0)
     return SolveResult(
         x=final.x,
         iters=final.k,
@@ -141,3 +156,33 @@ def chebyshev(
     history["abstol"] = float(abstol_)
     history["reltol"] = float(reltol_)
     return res.x, history
+
+
+def chebyshev_iterator(
+    A,
+    b,
+    lmin: float,
+    lmax: float,
+    *,
+    x0=None,
+    Pl=None,
+    abstol: float | None = None,
+    reltol: float | None = None,
+    maxiter: int | None = None,
+) -> SolverIterator:
+    """Eager Chebyshev iterator (~ ``chebyshev_iterable!``,
+    src/chebyshev.jl:59-91): yields the residual norm each step."""
+    op = as_operator(A, b)
+    Pl = as_preconditioner(Pl)
+    b = jnp.asarray(b)
+    maxiter = int(maxiter if maxiter is not None else op.shape[1])
+    initially_zero = x0 is None
+    dtype = solve_dtype(op.dtype, b.dtype)
+    if x0 is None:
+        x0 = jnp.zeros(op.shape[1], dtype=dtype)
+    reltol_, abstol_ = resolve_tols(dtype, reltol, abstol)
+    state0, step, done = _cheb_prepare(
+        op, b, jnp.asarray(x0), Pl, float(lmin), float(lmax),
+        reltol_, abstol_, maxiter, initially_zero,
+    )
+    return SolverIterator(state0, step=step, done=done, extract=lambda s: s.residual)

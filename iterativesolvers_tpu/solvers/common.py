@@ -131,7 +131,8 @@ class SolverIterator:
 
     @property
     def x(self):
-        return self.state.x
+        st = self.state
+        return getattr(st, "x", None) if hasattr(st, "x") else st.X
 
 
 def with_highest_precision(f):

@@ -36,9 +36,9 @@ from ..ops.givens import apply_givens, givens
 from ..ops.hessenberg import back_substitute
 from ..ops.orthogonalize import orthogonalize_and_normalize
 from ..utils.dtypes import real_dtype, solve_dtype
-from .common import SolveResult, make_history, norm, resolve_tols, tolerance, with_highest_precision, run_chunked
+from .common import SolveResult, make_history, norm, resolve_tols, tolerance, with_highest_precision, run_chunked, SolverIterator
 
-__all__ = ["gmres"]
+__all__ = ["gmres", "gmres_iterator"]
 
 
 class GMRESState(NamedTuple):
@@ -108,8 +108,10 @@ def _arnoldi_step(op, Pl, Pr, state: GMRESState, orth_method: str):
     )
 
 
-def _gmres_core(op, b, x0, Pl, Pr, reltol, abstol, restart, maxiter,
-                initially_zero, orth_method):
+def _gmres_prepare(op, b, x0, Pl, Pr, reltol, abstol, restart, maxiter,
+                   initially_zero, orth_method):
+    """(state0, step, done) shared by the jitted core and the eager iterator
+    (~ gmres_iterable!, src/gmres.jl:108-136)."""
     dtype = solve_dtype(op.dtype, b.dtype)
     m = restart
     x = x0.astype(dtype)
@@ -163,7 +165,16 @@ def _gmres_core(op, b, x0, Pl, Pr, reltol, abstol, restart, maxiter,
 
         return jax.lax.cond(cycle_over, do_finalize, lambda st: st, s)
 
-    final = run_chunked(body, lambda s: ~cond(s), state)
+    return state, body, lambda s: ~cond(s)
+
+
+def _gmres_core(op, b, x0, Pl, Pr, reltol, abstol, restart, maxiter,
+                initially_zero, orth_method):
+    state, step, done = _gmres_prepare(
+        op, b, x0, Pl, Pr, reltol, abstol, restart, maxiter,
+        initially_zero, orth_method,
+    )
+    final = run_chunked(step, done, state)
     return SolveResult(
         x=final.x,
         iters=final.kt,
@@ -225,3 +236,39 @@ def gmres(
     history["reltol"] = float(reltol_)
     history.restarts = int(restarts)
     return res.x, history
+
+
+def gmres_iterator(
+    A,
+    b,
+    *,
+    x0=None,
+    Pl=None,
+    Pr=None,
+    abstol: float | None = None,
+    reltol: float | None = None,
+    restart: int | None = None,
+    maxiter: int | None = None,
+    orth_method: str = "mgs",
+) -> SolverIterator:
+    """Eager GMRES iterator (~ ``gmres_iterable!``, src/gmres.jl:108-136):
+    yields the (lazily estimated) residual norm each inner iteration.
+    ``.x`` is only current at restart/convergence boundaries, exactly like
+    the reference (solution formed at restart, src/gmres.jl:82-103)."""
+    op = as_operator(A, b)
+    Pl = as_preconditioner(Pl)
+    Pr = as_preconditioner(Pr)
+    b = jnp.asarray(b)
+    n = op.shape[1]
+    restart = int(restart if restart is not None else min(20, n))
+    maxiter = int(maxiter if maxiter is not None else n)
+    initially_zero = x0 is None
+    dtype = solve_dtype(op.dtype, b.dtype)
+    if x0 is None:
+        x0 = jnp.zeros(n, dtype=dtype)
+    reltol_, abstol_ = resolve_tols(dtype, reltol, abstol)
+    state0, step, done = _gmres_prepare(
+        op, b, jnp.asarray(x0), Pl, Pr, reltol_, abstol_, restart, maxiter,
+        initially_zero, orth_method,
+    )
+    return SolverIterator(state0, step=step, done=done, extract=lambda s: s.residual)

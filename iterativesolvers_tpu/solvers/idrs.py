@@ -26,9 +26,9 @@ import jax.numpy as jnp
 from ..operators.linear_operator import as_operator
 from ..operators.preconditioners import as_preconditioner
 from ..utils.dtypes import real_dtype, solve_dtype
-from .common import SolveResult, make_history, norm, resolve_tols, tolerance, vdot, with_highest_precision, run_chunked
+from .common import SolveResult, make_history, norm, resolve_tols, tolerance, vdot, with_highest_precision, run_chunked, SolverIterator
 
-__all__ = ["idrs"]
+__all__ = ["idrs", "idrs_iterator"]
 
 _ANGLE = 0.7071067811865476  # sqrt(2)/2 (src/idrs.jl:71)
 
@@ -70,8 +70,10 @@ def _smooth(Xs, Rs, X, R):
     return Xs, Rs, norm(Rs)
 
 
-def _idrs_core(op, b, x0, Pl, P, reltol, abstol, s, maxiter, smoothing,
-               initially_zero):
+def _idrs_prepare(op, b, x0, Pl, P, reltol, abstol, s, maxiter, smoothing,
+                  initially_zero):
+    """(state0, step, done) shared by the jitted core and the eager iterator
+    (~ idrs_iterable!, src/idrs.jl:103-160)."""
     dtype = solve_dtype(op.dtype, b.dtype)
     X = x0.astype(dtype)
     R = b.astype(dtype) if initially_zero else b.astype(dtype) - op.mv(X)
@@ -158,9 +160,15 @@ def _idrs_core(op, b, x0, Pl, P, reltol, abstol, s, maxiter, smoothing,
     def body(st):
         return jax.lax.cond(st.step < s, k_step, reduction_step, st)
 
-    final = run_chunked(
-        body, lambda st: (st.it >= maxiter) | (st.normR < st.tol), state0
+    return state0, body, lambda st: (st.it >= maxiter) | (st.normR < st.tol)
+
+
+def _idrs_core(op, b, x0, Pl, P, reltol, abstol, s, maxiter, smoothing,
+               initially_zero):
+    state0, step, done = _idrs_prepare(
+        op, b, x0, Pl, P, reltol, abstol, s, maxiter, smoothing, initially_zero
     )
+    final = run_chunked(step, done, state0)
     X_out = final.X_s if smoothing else final.X
     return SolveResult(
         x=X_out,
@@ -220,3 +228,46 @@ def idrs(
     history["abstol"] = float(abstol_)
     history["reltol"] = float(reltol_)
     return res.x, history
+
+
+def idrs_iterator(
+    A,
+    b,
+    *,
+    s: int = 8,
+    x0=None,
+    Pl=None,
+    abstol: float | None = None,
+    reltol: float | None = None,
+    maxiter: int | None = None,
+    smoothing: bool = False,
+    seed: int = 0,
+) -> SolverIterator:
+    """Eager IDR(s) iterator (~ ``idrs_iterable!``, src/idrs.jl:103-160):
+    yields the residual norm each (inner or dimension-reduction) step."""
+    op = as_operator(A, b)
+    Pl = as_preconditioner(Pl)
+    b = jnp.asarray(b)
+    n = op.shape[1]
+    maxiter = int(maxiter if maxiter is not None else n)
+    initially_zero = x0 is None
+    dtype = solve_dtype(op.dtype, b.dtype)
+    if x0 is None:
+        x0 = jnp.zeros(n, dtype=dtype)
+    reltol_, abstol_ = resolve_tols(dtype, reltol, abstol)
+    key = jax.random.PRNGKey(seed)
+    if jnp.issubdtype(jnp.dtype(dtype), jnp.complexfloating):
+        rdt = real_dtype(dtype)
+        P = (
+            jax.random.uniform(key, (n, int(s)), dtype=rdt)
+            + 1j * jax.random.uniform(jax.random.fold_in(key, 1), (n, int(s)), dtype=rdt)
+        ).astype(dtype)
+    else:
+        P = jax.random.uniform(key, (n, int(s)), dtype=dtype)
+    state0, step, done = _idrs_prepare(
+        op, b, jnp.asarray(x0), Pl, P, reltol_, abstol_, int(s), maxiter,
+        bool(smoothing), initially_zero,
+    )
+    return SolverIterator(
+        state0, step=step, done=done, extract=lambda st: st.normR
+    )

@@ -26,9 +26,9 @@ import jax.numpy as jnp
 from ..operators.linear_operator import as_operator
 from ..ops.givens import givens
 from ..utils.dtypes import real_dtype, solve_dtype
-from .common import SolveResult, make_history, norm, resolve_tols, tolerance, vdot, with_highest_precision, run_chunked
+from .common import SolveResult, make_history, norm, resolve_tols, tolerance, vdot, with_highest_precision, run_chunked, SolverIterator
 
-__all__ = ["qmr"]
+__all__ = ["qmr", "qmr_iterator"]
 
 
 class QMRState(NamedTuple):
@@ -58,7 +58,9 @@ def _safe(x):
     return jnp.where(x == 0, 1, x)
 
 
-def _qmr_core(op, b, x0, reltol, abstol, maxiter, initially_zero):
+def _qmr_prepare(op, b, x0, reltol, abstol, maxiter, initially_zero):
+    """(state0, step, done) shared by the jitted core and the eager iterator
+    (~ qmr_iterable!, src/qmr.jl:120-140)."""
     dtype = solve_dtype(op.dtype, b.dtype)
     x = x0.astype(dtype)
     r = b.astype(dtype) if initially_zero else b.astype(dtype) - op.mv(x)
@@ -125,9 +127,14 @@ def _qmr_core(op, b, x0, reltol, abstol, maxiter, initially_zero):
             resnorm_log=s.resnorm_log.at[s.k].set(residual),
         )
 
-    final = run_chunked(
-        body, lambda s: (s.k >= maxiter) | (s.residual <= s.tol), state0
+    return state0, body, lambda s: (s.k >= maxiter) | (s.residual <= s.tol)
+
+
+def _qmr_core(op, b, x0, reltol, abstol, maxiter, initially_zero):
+    state0, step, done = _qmr_prepare(
+        op, b, x0, reltol, abstol, maxiter, initially_zero
     )
+    final = run_chunked(step, done, state0)
     return SolveResult(
         x=final.x,
         iters=final.k,
@@ -171,3 +178,28 @@ def qmr(
     history["abstol"] = float(abstol_)
     history["reltol"] = float(reltol_)
     return res.x, history
+
+
+def qmr_iterator(
+    A,
+    b,
+    *,
+    x0=None,
+    abstol: float | None = None,
+    reltol: float | None = None,
+    maxiter: int | None = None,
+) -> SolverIterator:
+    """Eager QMR iterator (~ ``qmr_iterable!``, src/qmr.jl:120-140): yields
+    the residual-norm estimate |g2| each step."""
+    op = as_operator(A, b)
+    b = jnp.asarray(b)
+    maxiter = int(maxiter if maxiter is not None else op.shape[1])
+    initially_zero = x0 is None
+    dtype = solve_dtype(op.dtype, b.dtype)
+    if x0 is None:
+        x0 = jnp.zeros(op.shape[1], dtype=dtype)
+    reltol_, abstol_ = resolve_tols(dtype, reltol, abstol)
+    state0, step, done = _qmr_prepare(
+        op, b, jnp.asarray(x0), reltol_, abstol_, maxiter, initially_zero
+    )
+    return SolverIterator(state0, step=step, done=done, extract=lambda s: s.residual)

@@ -22,7 +22,14 @@ from .operators.preconditioners import (
     Preconditioner,
     as_preconditioner,
 )
-from .operators.sparse import CSRMatrix, DIAMatrix, ELLMatrix, csr_from_dense, dia_from_dense
+from .operators.sparse import (
+    BSRMatrix,
+    CSRMatrix,
+    DIAMatrix,
+    ELLMatrix,
+    csr_from_dense,
+    dia_from_dense,
+)
 from .solvers.bicgstabl import bicgstabl, bicgstabl_iterator
 from .solvers.cg import cg, cg_iterator
 from .solvers.chebyshev import chebyshev, chebyshev_iterator

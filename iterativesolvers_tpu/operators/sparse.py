@@ -28,7 +28,7 @@ import numpy as np
 
 from .linear_operator import LinearOperator
 
-__all__ = ["CSRMatrix", "ELLMatrix", "DIAMatrix", "csr_from_dense", "dia_from_dense"]
+__all__ = ["CSRMatrix", "ELLMatrix", "DIAMatrix", "BSRMatrix", "csr_from_dense", "dia_from_dense"]
 
 
 @jax.tree_util.register_pytree_node_class
@@ -336,6 +336,100 @@ class DIAMatrix(LinearOperator):
         obj = object.__new__(cls)
         (obj.diags,) = leaves
         obj.offsets, obj._shape = aux
+        return obj
+
+
+@jax.tree_util.register_pytree_node_class
+class BSRMatrix(LinearOperator):
+    """Block compressed sparse row: ``blocks`` (nblk, bs, bs) dense blocks,
+    ``block_cols`` (nblk,) block-column ids, ``block_row_ids`` (nblk,) sorted
+    block-row ids.  SpMV gathers x blocks and runs one batched (nblk, bs, bs)
+    x (nblk, bs) matmul on the MXU, then a segment-sum over block rows —
+    the TPU-native format for FEM/multi-dof stencil matrices (SURVEY §2.5
+    lists BSR among the native-op equivalents)."""
+
+    def __init__(self, blocks, block_cols, block_row_ids, shape):
+        self.blocks = jnp.asarray(blocks)
+        self.block_cols = jnp.asarray(block_cols, jnp.int32)
+        self.block_row_ids = jnp.asarray(block_row_ids, jnp.int32)
+        self._shape = (int(shape[0]), int(shape[1]))
+        bs = int(self.blocks.shape[1])
+        if shape[0] % bs or shape[1] % bs:
+            raise ValueError("matrix shape must be divisible by the block size")
+
+    @classmethod
+    def from_csr(cls, csr: "CSRMatrix", block_size: int) -> "BSRMatrix":
+        n, m = csr.shape
+        bs = int(block_size)
+        if n % bs or m % bs:
+            raise ValueError("matrix shape must be divisible by the block size")
+        rows = np.asarray(csr.row_ids, np.int64)
+        cols = np.asarray(csr.indices, np.int64)
+        vals = np.asarray(csr.data)
+        brows = rows // bs
+        bcols = cols // bs
+        keys = brows * (m // bs) + bcols
+        uniq, inv = np.unique(keys, return_inverse=True)
+        nblk = uniq.size
+        blocks = np.zeros((nblk, bs, bs), vals.dtype)
+        blocks[inv, rows % bs, cols % bs] = vals
+        return cls(blocks, (uniq % (m // bs)), (uniq // (m // bs)), (n, m))
+
+    @property
+    def shape(self):
+        return self._shape
+
+    @property
+    def dtype(self):
+        return self.blocks.dtype
+
+    @property
+    def block_size(self):
+        return int(self.blocks.shape[1])
+
+    @property
+    def nnz(self):
+        return int(np.prod(self.blocks.shape))
+
+    def mv(self, x):
+        bs = self.block_size
+        nb_rows = self._shape[0] // bs
+        xb = x.reshape(self._shape[1] // bs, bs, *x.shape[1:])
+        g = xb[self.block_cols]                       # (nblk, bs[, k])
+        # batched block matmul on the MXU
+        prod = jnp.einsum("nij,nj...->ni...", self.blocks, g)
+        yb = jax.ops.segment_sum(
+            prod, self.block_row_ids, num_segments=nb_rows,
+            indices_are_sorted=True,
+        )
+        return yb.reshape(self._shape[0], *x.shape[1:])
+
+    def rmv(self, x):
+        bs = self.block_size
+        nb_cols = self._shape[1] // bs
+        xb = x.reshape(self._shape[0] // bs, bs, *x.shape[1:])
+        g = xb[self.block_row_ids]
+        prod = jnp.einsum("nji,nj...->ni...", jnp.conj(self.blocks), g)
+        yb = jax.ops.segment_sum(prod, self.block_cols, num_segments=nb_cols)
+        return yb.reshape(self._shape[1], *x.shape[1:])
+
+    def to_dense(self):
+        bs = self.block_size
+        out = jnp.zeros(self._shape, self.dtype)
+        for i in range(self.blocks.shape[0]):
+            r = self.block_row_ids[i] * bs
+            c = self.block_cols[i] * bs
+            out = jax.lax.dynamic_update_slice(out, self.blocks[i], (r, c))
+        return out
+
+    def tree_flatten(self):
+        return (self.blocks, self.block_cols, self.block_row_ids), self._shape
+
+    @classmethod
+    def tree_unflatten(cls, aux, leaves):
+        obj = object.__new__(cls)
+        obj.blocks, obj.block_cols, obj.block_row_ids = leaves
+        obj._shape = aux
         return obj
 
 

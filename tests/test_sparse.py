@@ -108,3 +108,39 @@ def test_random_sparse_shapes(rng):
     np.testing.assert_allclose(
         np.asarray(A.mv(x)), np.asarray(A.to_dense()) @ x, rtol=1e-12
     )
+
+
+def test_bsr_roundtrip_and_matvec(rng):
+    """BSR block format: mv/rmv vs dense, vector and block inputs."""
+    import numpy as np
+    import jax.numpy as jnp
+    from iterativesolvers_tpu.operators.sparse import BSRMatrix, csr_from_dense
+
+    n, bs = 48, 4
+    M = rng.random((n, n))
+    M[M < 0.8] = 0.0
+    M += np.eye(n)
+    csr = csr_from_dense(M)
+    bsr = BSRMatrix.from_csr(csr, bs)
+    Md = np.asarray(bsr.to_dense())
+    # block expansion only adds explicit zeros; values must match
+    np.testing.assert_allclose(Md, M, rtol=1e-12)
+    x = rng.random(n)
+    np.testing.assert_allclose(np.asarray(bsr.mv(jnp.asarray(x))), M @ x, rtol=1e-10)
+    np.testing.assert_allclose(np.asarray(bsr.rmv(jnp.asarray(x))), M.T @ x, rtol=1e-10)
+    X = rng.random((n, 3))
+    np.testing.assert_allclose(np.asarray(bsr.mv(jnp.asarray(X))), M @ X, rtol=1e-10)
+
+
+def test_bsr_in_solver(rng):
+    import numpy as np
+    from iterativesolvers_tpu.operators.sparse import BSRMatrix, csr_from_dense
+    import iterativesolvers_tpu as its
+
+    n = 32
+    M = rng.random((n, n))
+    M = M @ M.T + n * np.eye(n)
+    bsr = BSRMatrix.from_csr(csr_from_dense(M), 4)
+    b = rng.random(n)
+    x = np.asarray(its.cg(bsr, b, reltol=1e-10))
+    assert np.linalg.norm(M @ x - b) / np.linalg.norm(b) < 1e-8

@@ -1,0 +1,206 @@
+"""Benchmark suite mirroring the reference harnesses (BASELINE.md table;
+benchmark/benchmark-linear-systems.jl etc.).  Prints one JSON line per
+workload: {"name", "wall_s", "per_iter_us", "iters", "converged"}.
+
+Problems run in f32 on the attached TPU.  Timing is differential where the
+solver supports two maxiter lengths (cancels remote-dispatch latency);
+otherwise wall-clock around the converged solve.
+
+Usage:  python benchmarks/run_all.py [name ...]
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def _timeit(fn, reps=3):
+    import jax
+
+    out = fn()
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = fn()
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / reps, out
+
+
+def bench_cg_tridiag():
+    """CG, SymTridiagonal(2.01, -1), n = 1e6, diagonal preconditioner
+    (~ benchmark/benchmark-linear-systems.jl:24-45)."""
+    import jax.numpy as jnp
+
+    import iterativesolvers_tpu as its
+    from iterativesolvers_tpu.utils.fixtures import sym_tridiagonal_dia
+
+    n = 1_000_000
+    A = sym_tridiagonal_dia(2.01, -1.0, n, dtype=np.float32)
+    b = jnp.ones((n,), jnp.float32)
+    Pl = its.DiagonalPreconditioner(jnp.full((n,), 2.01, jnp.float32))
+    x, h = its.cg(A, b, Pl=Pl, reltol=1e-6, maxiter=300, log=True)
+    t, _ = _timeit(lambda: its.cg(A, b, Pl=Pl, reltol=1e-6, maxiter=300))
+    return dict(wall_s=t, iters=h.iters, converged=h.isconverged)
+
+
+def bench_gmres_sprand():
+    """GMRES(15), symmetrized I + sprand(n, n, 5/n), n = 1e5
+    (~ benchmark/benchmark-linear-systems.jl:47-68)."""
+    import jax.numpy as jnp
+
+    import iterativesolvers_tpu as its
+    from iterativesolvers_tpu.utils.fixtures import random_sparse
+
+    n = 100_000
+    A = random_sparse(n, n, 5.0 / n, seed=1, dtype=np.float32,
+                      symmetrize=True, shift=1.0).to_ell()
+    b = jnp.ones((n,), jnp.float32)
+    x, h = its.gmres(A, b, restart=15, reltol=1e-5, maxiter=210, log=True)
+    t, _ = _timeit(lambda: its.gmres(A, b, restart=15, reltol=1e-5, maxiter=210))
+    return dict(wall_s=t, iters=h.iters, converged=h.isconverged)
+
+
+def bench_bicgstabl_advdiff():
+    """BiCGStab(2|4), 3-D advection-diffusion N=50 (n=125k)
+    (~ benchmark/benchmark-linear-systems.jl:70-80)."""
+    import jax.numpy as jnp
+
+    import iterativesolvers_tpu as its
+    from iterativesolvers_tpu.utils.fixtures import advection_diffusion
+
+    A, b = advection_diffusion(50, dtype=np.float32)
+    b = jnp.asarray(b)
+    out = {}
+    for l in (2, 4):
+        x, h = its.bicgstabl(A, b, l, max_mv_products=1000, reltol=1e-6, log=True)
+        t, _ = _timeit(lambda: its.bicgstabl(A, b, l, max_mv_products=1000, reltol=1e-6))
+        out[f"l{l}"] = dict(wall_s=round(t, 4), cycles=h.iters, converged=h.isconverged)
+    return dict(wall_s=out["l2"]["wall_s"], iters=out["l2"]["cycles"],
+                converged=out["l2"]["converged"], detail=out)
+
+
+def bench_minres_tridiag():
+    """MINRES, SymTridiagonal(2.1, -1), n = 1e5, maxiter 100
+    (~ benchmark/benchmark-linear-systems.jl:82-88)."""
+    import jax.numpy as jnp
+
+    import iterativesolvers_tpu as its
+    from iterativesolvers_tpu.utils.fixtures import sym_tridiagonal_dia
+
+    n = 100_000
+    A = sym_tridiagonal_dia(2.1, -1.0, n, dtype=np.float32)
+    b = jnp.ones((n,), jnp.float32)
+    x, h = its.minres(A, b, maxiter=100, log=True)
+    t, _ = _timeit(lambda: its.minres(A, b, maxiter=100))
+    return dict(wall_s=t, iters=h.iters, converged=h.isconverged)
+
+
+def bench_stationary():
+    """Jacobi/GS/SOR/SSOR, sprand + 4I diag-dominantized, n = 1e4, 20 sweeps
+    (~ benchmark/benchmark-linear-systems.jl:90-101)."""
+    import jax.numpy as jnp
+
+    import iterativesolvers_tpu as its
+    from iterativesolvers_tpu.utils.fixtures import random_sparse
+
+    n = 10_000
+    A = random_sparse(n, n, 5.0 / n, seed=2, dtype=np.float32,
+                      symmetrize=True, shift=4.0)
+    b = jnp.ones((n,), jnp.float32)
+    detail = {}
+    for name, fn, args in (
+        ("jacobi", its.jacobi, ()),
+        ("gauss_seidel", its.gauss_seidel, ()),
+        ("sor", its.sor, (1.1,)),
+        ("ssor", its.ssor, (1.1,)),
+    ):
+        t, _ = _timeit(lambda: fn(A, b, *args, maxiter=20))
+        detail[name] = round(t, 4)
+    return dict(wall_s=detail["sor"], iters=20, converged=True, detail=detail)
+
+
+def bench_lsqr_lsmr():
+    """LSQR/LSMR on a tall random sparse system (BASELINE config 4)."""
+    import jax.numpy as jnp
+
+    import iterativesolvers_tpu as its
+    from iterativesolvers_tpu.utils.fixtures import random_sparse
+
+    m, n = 200_000, 50_000
+    A = random_sparse(m, n, 10.0 / n, seed=3, dtype=np.float32).to_ell()
+    b = jnp.ones((m,), jnp.float32)
+    detail = {}
+    for name, fn in (("lsqr", its.lsqr), ("lsmr", its.lsmr)):
+        x, h = fn(A, b, atol=1e-4, btol=1e-4, maxiter=100, log=True)
+        t, _ = _timeit(lambda: fn(A, b, atol=1e-4, btol=1e-4, maxiter=100))
+        detail[name] = dict(wall_s=round(t, 4), iters=h.iters, conv=h.isconverged)
+    return dict(wall_s=detail["lsqr"]["wall_s"], iters=detail["lsqr"]["iters"],
+                converged=detail["lsqr"]["conv"], detail=detail)
+
+
+def bench_lobpcg_laplace():
+    """LOBPCG smallest 4 eigenpairs of the 100x100 2-D Laplacian."""
+    import iterativesolvers_tpu as its
+    from iterativesolvers_tpu.utils.fixtures import laplace_dia
+
+    A = laplace_dia(100, 2, dtype=np.float32)
+    rng = np.random.default_rng(0)
+    X0 = rng.random((A.shape[0], 4)).astype(np.float32)
+    r = its.lobpcg(A, X0, largest=False, tol=1e-4, maxiter=300)
+    t0 = time.perf_counter()
+    r = its.lobpcg(A, X0, largest=False, tol=1e-4, maxiter=300)
+    t = time.perf_counter() - t0
+    return dict(wall_s=t, iters=r.iterations, converged=r.converged)
+
+
+def bench_svdl():
+    """svdl nsv=6 on a 5000x3000 random sparse matrix
+    (~ benchmark/benchmark-svd-florida.jl, synthetic stand-in)."""
+    import iterativesolvers_tpu as its
+    from iterativesolvers_tpu.utils.fixtures import random_sparse
+
+    A = random_sparse(5000, 3000, 0.01, seed=4, dtype=np.float32).to_ell()
+    vals, L = its.svdl(A, nsv=6, tol=1e-3, maxiter=60)
+    t0 = time.perf_counter()
+    vals, L = its.svdl(A, nsv=6, tol=1e-3, maxiter=60)
+    t = time.perf_counter() - t0
+    return dict(wall_s=t, iters=-1, converged=True)
+
+
+ALL = {
+    "cg_tridiag_1m": bench_cg_tridiag,
+    "gmres_sprand_100k": bench_gmres_sprand,
+    "bicgstabl_advdiff_125k": bench_bicgstabl_advdiff,
+    "minres_tridiag_100k": bench_minres_tridiag,
+    "stationary_10k": bench_stationary,
+    "lsqr_lsmr_200kx50k": bench_lsqr_lsmr,
+    "lobpcg_laplace_10k": bench_lobpcg_laplace,
+    "svdl_5kx3k": bench_svdl,
+}
+
+
+def main():
+    names = sys.argv[1:] or list(ALL)
+    for name in names:
+        try:
+            r = ALL[name]()
+            iters = max(int(r.get("iters", 0)), 1)
+            print(json.dumps({
+                "name": name,
+                "wall_s": round(float(r["wall_s"]), 4),
+                "per_iter_us": round(1e6 * float(r["wall_s"]) / iters, 1),
+                "iters": r.get("iters"),
+                "converged": bool(r.get("converged")),
+                **({"detail": r["detail"]} if "detail" in r else {}),
+            }), flush=True)
+        except Exception as e:  # keep going; report the failure
+            print(json.dumps({"name": name, "error": repr(e)}), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -25,7 +25,7 @@ import jax.numpy as jnp
 from ..operators.linear_operator import as_operator
 from ..operators.preconditioners import as_preconditioner
 from ..utils.dtypes import real_dtype, solve_dtype
-from .common import SolveResult, make_history, norm, resolve_tols, tolerance, vdot, with_highest_precision, run_chunked, SolverIterator
+from .common import SolveResult, make_history, norm, resolve_tols, tolerance, vdot, with_highest_precision, run_chunked, SolverIterator, print_resnorms
 
 __all__ = ["bicgstabl", "bicgstabl_iterator"]
 
@@ -152,6 +152,7 @@ def bicgstabl(
     max_mv_products: int | None = None,
     seed: int = 0,
     log: bool = False,
+    verbose: bool = False,
 ):
     """Solve A x = b with BiCGStab(l) (~ bicgstabl/bicgstabl!,
     src/bicgstabl.jl:142-219)."""
@@ -170,6 +171,8 @@ def bicgstabl(
         op, b, jnp.asarray(x0), Pl, r_shadow, reltol_, abstol_, int(l), max_mv,
         initially_zero,
     )
+    if verbose:
+        print_resnorms(res)
     if not log:
         return res.x
     history = make_history(res, mv_per_iter=0.0, mv_initial=0)

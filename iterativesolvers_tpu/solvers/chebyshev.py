@@ -38,6 +38,7 @@ from .common import (
     resolve_tols,
     run_chunked,
     tolerance,
+    print_resnorms,
 )
 
 __all__ = ["chebyshev", "chebyshev_iterator"]
@@ -134,6 +135,7 @@ def chebyshev(
     reltol: float | None = None,
     maxiter: int | None = None,
     log: bool = False,
+    verbose: bool = False,
 ):
     """Solve A x = b by Chebyshev iteration given eigenvalue bounds
     (~ chebyshev/chebyshev!, src/chebyshev.jl:93-170)."""
@@ -150,6 +152,8 @@ def chebyshev(
         op, b, jnp.asarray(x0), Pl, float(lmin), float(lmax),
         reltol_, abstol_, maxiter, initially_zero,
     )
+    if verbose:
+        print_resnorms(res)
     if not log:
         return res.x
     history = make_history(res, mv_per_iter=1.0, mv_initial=0 if initially_zero else 1)

@@ -135,6 +135,15 @@ class SolverIterator:
         return getattr(st, "x", None) if hasattr(st, "x") else st.X
 
 
+def print_resnorms(res: SolveResult, key: str = "resnorm") -> None:
+    """Host-side per-iteration residual printout (the reference prints live
+    via @printf, src/cg.jl:234; under jit we print after the loop exits)."""
+    buf, nvalid = res.log[key]
+    vals = np.asarray(buf)[: int(nvalid)]
+    for i, v in enumerate(vals):
+        print(f"{i + 1:3d}\t{float(v):.2e}")
+
+
 def with_highest_precision(f):
     """On TPU the default matmul precision is bfloat16 — fatal for Krylov
     orthogonalization / Gram matrices in f32.  Wrap a (to-be-jitted) solver
@@ -158,10 +167,10 @@ def run_chunked(step, done, state, chunk: int = 64):
     On the remote-attached TPU backend a ``lax.while_loop`` whose condition
     depends on device data synchronizes the sequencer every trip (~ms each —
     measured 1.9 ms/iter vs 66 us of actual CG-iteration compute).  Chunking
-    amortizes that sync: the inner ``fori_loop`` runs ``chunk`` steps, each
-    individually guarded by ``lax.cond(done, identity, step)`` so no step
-    ever executes past convergence — numerics are *identical* to the
-    per-iteration-checked loop, only the exit granularity changes.
+    amortizes that sync: the inner ``fori_loop`` runs ``chunk`` masked steps
+    (see ``guarded`` below) so no visible state ever advances past
+    convergence — numerics are *identical* to the per-iteration-checked
+    loop, only the exit granularity changes.
     """
     if chunk <= 1:
         return jax.lax.while_loop(lambda s: ~done(s), step, state)

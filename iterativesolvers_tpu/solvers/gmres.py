@@ -36,7 +36,7 @@ from ..ops.givens import apply_givens, givens
 from ..ops.hessenberg import back_substitute
 from ..ops.orthogonalize import orthogonalize_and_normalize
 from ..utils.dtypes import real_dtype, solve_dtype
-from .common import SolveResult, make_history, norm, resolve_tols, tolerance, with_highest_precision, run_chunked, SolverIterator
+from .common import SolveResult, make_history, norm, resolve_tols, tolerance, with_highest_precision, run_chunked, SolverIterator, print_resnorms
 
 __all__ = ["gmres", "gmres_iterator"]
 
@@ -203,6 +203,7 @@ def gmres(
     maxiter: int | None = None,
     orth_method: str = "mgs",
     log: bool = False,
+    verbose: bool = False,
 ):
     """Solve A x = b with restarted GMRES(m) (~ gmres/gmres!,
     src/gmres.jl:143-233).  Stopping is on the *left-preconditioned* residual.
@@ -223,6 +224,8 @@ def gmres(
         op, b, jnp.asarray(x0), Pl, Pr, reltol_, abstol_, restart, maxiter,
         initially_zero, orth_method,
     )
+    if verbose:
+        print_resnorms(res)
     if not log:
         return res.x
     # mvps: 1 per inner iteration + 1 per restart + (0 or 1) initial

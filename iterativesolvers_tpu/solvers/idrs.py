@@ -26,7 +26,7 @@ import jax.numpy as jnp
 from ..operators.linear_operator import as_operator
 from ..operators.preconditioners import as_preconditioner
 from ..utils.dtypes import real_dtype, solve_dtype
-from .common import SolveResult, make_history, norm, resolve_tols, tolerance, vdot, with_highest_precision, run_chunked, SolverIterator
+from .common import SolveResult, make_history, norm, resolve_tols, tolerance, vdot, with_highest_precision, run_chunked, SolverIterator, print_resnorms
 
 __all__ = ["idrs", "idrs_iterator"]
 
@@ -197,6 +197,7 @@ def idrs(
     smoothing: bool = False,
     seed: int = 0,
     log: bool = False,
+    verbose: bool = False,
 ):
     """Solve A x = b with IDR(s) (~ idrs/idrs!, src/idrs.jl:11-64)."""
     op = as_operator(A, b)
@@ -222,6 +223,8 @@ def idrs(
         op, b, jnp.asarray(x0), Pl, P, reltol_, abstol_, int(s), maxiter,
         bool(smoothing), initially_zero,
     )
+    if verbose:
+        print_resnorms(res)
     if not log:
         return res.x
     history = make_history(res, mv_per_iter=1.0, mv_initial=0 if initially_zero else 1)

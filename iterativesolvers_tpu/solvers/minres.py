@@ -24,7 +24,7 @@ import jax.numpy as jnp
 from ..operators.linear_operator import as_operator
 from ..ops.givens import givens
 from ..utils.dtypes import real_dtype, solve_dtype
-from .common import SolveResult, SolverIterator, make_history, norm, resolve_tols, tolerance, vdot, run_chunked
+from .common import SolveResult, SolverIterator, make_history, norm, resolve_tols, tolerance, vdot, run_chunked, print_resnorms
 
 __all__ = ["minres", "minres_iterator"]
 
@@ -157,6 +157,7 @@ def minres(
     reltol: float | None = None,
     maxiter: int | None = None,
     log: bool = False,
+    verbose: bool = False,
 ):
     """Solve A x = b for Hermitian (or skew-Hermitian) A
     (~ minres/minres!, src/minres.jl:161-244)."""
@@ -172,6 +173,8 @@ def minres(
         op, b, jnp.asarray(x0), reltol_, abstol_, maxiter, initially_zero,
         bool(skew_hermitian),
     )
+    if verbose:
+        print_resnorms(res)
     if not log:
         return res.x
     history = make_history(

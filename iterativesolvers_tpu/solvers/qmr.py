@@ -26,7 +26,7 @@ import jax.numpy as jnp
 from ..operators.linear_operator import as_operator
 from ..ops.givens import givens
 from ..utils.dtypes import real_dtype, solve_dtype
-from .common import SolveResult, make_history, norm, resolve_tols, tolerance, vdot, with_highest_precision, run_chunked, SolverIterator
+from .common import SolveResult, make_history, norm, resolve_tols, tolerance, vdot, with_highest_precision, run_chunked, SolverIterator, print_resnorms
 
 __all__ = ["qmr", "qmr_iterator"]
 
@@ -51,6 +51,7 @@ class QMRState(NamedTuple):
     residual: jax.Array
     tol: jax.Array
     k: jax.Array
+    breakdown: jax.Array  # Lanczos breakdown delta == 0 (src/qmr.jl:82-86)
     resnorm_log: jax.Array
 
 
@@ -80,6 +81,7 @@ def _qmr_prepare(op, b, x0, reltol, abstol, maxiter, initially_zero):
         p_prev=zeros, p_curr=zeros,
         residual=resnorm, tol=tol,
         k=jnp.zeros((), jnp.int32),
+        breakdown=jnp.zeros((), bool),
         resnorm_log=jnp.zeros((max(maxiter, 1),), real_dtype(dtype)),
     )
 
@@ -92,6 +94,8 @@ def _qmr_prepare(op, b, x0, reltol, abstol, maxiter, initially_zero):
         w_next = op.rmv(s.w_curr) - alpha * s.w_curr - s.delta * s.w_prev
         vw = vdot(v_next, w_next)
         delta = jnp.sqrt(jnp.abs(vw)).astype(dtype)
+        # Lanczos breakdown: stop like the reference (src/qmr.jl:82-86)
+        breakdown = s.breakdown | (delta == 0)
         beta_prev = s.beta_curr
         beta_curr = vw / _safe(delta)
         v_next = v_next / _safe(delta)
@@ -124,10 +128,11 @@ def _qmr_prepare(op, b, x0, reltol, abstol, maxiter, initially_zero):
             p_prev=s.p_curr, p_curr=p,
             residual=residual, tol=s.tol,
             k=s.k + 1,
+            breakdown=breakdown,
             resnorm_log=s.resnorm_log.at[s.k].set(residual),
         )
 
-    return state0, body, lambda s: (s.k >= maxiter) | (s.residual <= s.tol)
+    return state0, body, lambda s: (s.k >= maxiter) | (s.residual <= s.tol) | s.breakdown
 
 
 def _qmr_core(op, b, x0, reltol, abstol, maxiter, initially_zero):
@@ -156,6 +161,7 @@ def qmr(
     reltol: float | None = None,
     maxiter: int | None = None,
     log: bool = False,
+    verbose: bool = False,
 ):
     """Solve A x = b with QMR (~ qmr/qmr!, src/qmr.jl:230-297).  Needs an
     operator with an adjoint matvec (dense/sparse matrices provide it;
@@ -169,6 +175,8 @@ def qmr(
         x0 = jnp.zeros(op.shape[1], dtype=dtype)
     reltol_, abstol_ = resolve_tols(dtype, reltol, abstol)
     res = _qmr_jit(op, b, jnp.asarray(x0), reltol_, abstol_, maxiter, initially_zero)
+    if verbose:
+        print_resnorms(res)
     if not log:
         return res.x
     history = make_history(

@@ -290,7 +290,7 @@ def svdl(
     L = _build(op, v0, k)
 
     history = ConvergenceHistory(partial=not log) if log else None
-    ritz_hist, res_hist, beta_hist, conv_hist = [], [], [], []
+    ritz_hist, res_hist, beta_hist, conv_hist, B_hist = [], [], [], [], []
 
     iters = 0
     converged = False
@@ -304,6 +304,8 @@ def svdl(
         res_hist.append(np.asarray(delta))
         beta_hist.append(float(jnp.abs(L.beta)))
         conv_hist.append(bool(conv[:l].all()))
+        if log:
+            B_hist.append(np.asarray(L.B))  # ~ push!(log, :Bs, ...) src/svdl.jl:212
         if conv[:l].all():
             converged = True
             break
@@ -323,6 +325,7 @@ def svdl(
         history.data["resnorm"] = np.stack(res_hist)
         history.data["betas"] = np.asarray(beta_hist)
         history.data["conv"] = np.asarray(conv_hist)
+        history.data["Bs"] = np.stack(B_hist)
         history.mvps = iters * (k - j) + k
         history.mtvps = iters * (k - j) + k
 

@@ -36,6 +36,7 @@ from .solvers.chebyshev import chebyshev, chebyshev_iterator
 from .solvers.gmres import gmres, gmres_iterator
 from .solvers.idrs import idrs, idrs_iterator
 from .solvers.minres import minres, minres_iterator
+from .solvers.pipelined import pipelined_cg
 from .solvers.lobpcg import LOBPCGResults, lobpcg
 from .solvers.lsmr import lsmr
 from .solvers.lsqr import lsqr

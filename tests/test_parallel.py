@@ -102,3 +102,24 @@ def test_sharded_solution_matches_single_device(mesh):
 def test_guards(mesh):
     with pytest.raises(ValueError):
         HaloDIAOperator(laplace_dia(3, 2), mesh)  # 9 rows not divisible by 8
+
+
+def test_pipelined_cg_matches_cg(mesh, rng):
+    """Pipelined CG converges to the same solution as CG on the sharded
+    operator (single fused reduction per iteration)."""
+    A = laplace_dia(16, 2)
+    op = HaloDIAOperator(A, mesh)
+    b = shard_vector(jnp.ones(A.shape[0]), mesh)
+    x_cg = np.asarray(its.cg(op, b, reltol=1e-10, maxiter=600))
+    x_pipe, h = its.pipelined_cg(op, b, reltol=1e-10, maxiter=600, log=True)
+    assert h.isconverged
+    np.testing.assert_allclose(np.asarray(x_pipe), x_cg, atol=1e-7)
+
+
+def test_pipelined_cg_single_device(rng):
+    n = 50
+    M = rng.random((n, n))
+    M = M @ M.T + n * np.eye(n)
+    b = rng.random(n)
+    x = np.asarray(its.pipelined_cg(M, b, reltol=1e-10))
+    assert np.linalg.norm(M @ x - b) / np.linalg.norm(b) < 1e-8

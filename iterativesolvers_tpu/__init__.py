@@ -54,6 +54,9 @@ from .solvers.stationary import (
     ssor,
     ssor_iterable,
 )
+from .ops.orthogonalize import orthogonalize_and_normalize
+from .ops.triangular import LevelScheduledTriangular
 from .utils.history import ConvergenceHistory
+from .utils.io import load_matrix_market
 
 __version__ = "0.1.0"

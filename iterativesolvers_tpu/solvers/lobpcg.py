@@ -122,14 +122,6 @@ def _apply_rinv(R, *mats):
     return out if len(out) > 1 else out[0]
 
 
-def _project_out(X, BX, blocks):
-    """B-orthogonal projection of a (V, AV, BV, ...) tuple of image-consistent
-    blocks out of span(X): each M -= M_X-image @ (BX' V)."""
-    V = blocks[0]
-    C = BX.conj().T @ V
-    return tuple(M - MX @ C for M, MX in blocks[1])
-
-
 # ---------------------------------------------------------------------------
 # Core run
 # ---------------------------------------------------------------------------

@@ -132,7 +132,7 @@ def bench_lsqr_lsmr():
     from iterativesolvers_tpu.utils.fixtures import random_sparse
 
     m, n = 200_000, 50_000
-    A = random_sparse(m, n, 10.0 / n, seed=3, dtype=np.float32).to_ell()
+    A = random_sparse(m, n, 10.0 / n, seed=3, dtype=np.float32).to_ell().with_adjoint()
     b = jnp.ones((m,), jnp.float32)
     detail = {}
     for name, fn in (("lsqr", its.lsqr), ("lsmr", its.lsmr)):
@@ -164,7 +164,7 @@ def bench_svdl():
     import iterativesolvers_tpu as its
     from iterativesolvers_tpu.utils.fixtures import random_sparse
 
-    A = random_sparse(5000, 3000, 0.01, seed=4, dtype=np.float32).to_ell()
+    A = random_sparse(5000, 3000, 0.01, seed=4, dtype=np.float32).to_ell().with_adjoint()
     vals, L = its.svdl(A, nsv=6, tol=1e-3, maxiter=60)
     t0 = time.perf_counter()
     vals, L = its.svdl(A, nsv=6, tol=1e-3, maxiter=60)

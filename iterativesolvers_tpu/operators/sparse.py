@@ -166,12 +166,30 @@ class CSRMatrix(LinearOperator):
 @jax.tree_util.register_pytree_node_class
 class ELLMatrix(LinearOperator):
     """Padded fixed-width-row format: ``data``/``cols`` are (n, k); padding has
-    ``cols = 0, data = 0`` so the gather stays in-bounds and contributes 0."""
+    ``cols = 0, data = 0`` so the gather stays in-bounds and contributes 0.
 
-    def __init__(self, data, cols, shape):
+    ``rmv`` is scatter-based (segment-sum onto unsorted column ids) — slow on
+    TPU.  Solvers that use the adjoint every iteration (lsqr/lsmr/qmr/svdl)
+    should call :meth:`with_adjoint` once: it precomputes A^H in ELL form so
+    the adjoint matvec is the same fast gather kernel (2x storage)."""
+
+    def __init__(self, data, cols, shape, adj: "ELLMatrix | None" = None):
         self.data = jnp.asarray(data)
         self.cols = jnp.asarray(cols, dtype=jnp.int32)
         self._shape = (int(shape[0]), int(shape[1]))
+        self.adj = adj
+
+    def with_adjoint(self) -> "ELLMatrix":
+        """Return a copy carrying a precomputed ELL-form adjoint."""
+        if self.adj is not None:
+            return self
+        csr = self.to_csr()
+        rows = np.asarray(csr.row_ids)
+        cols = np.asarray(csr.indices)
+        vals = np.conj(np.asarray(csr.data))
+        n, m = self._shape
+        adj = CSRMatrix.from_coo(cols, rows, vals, (m, n)).to_ell()
+        return ELLMatrix(self.data, self.cols, self._shape, adj=adj)
 
     @property
     def shape(self):
@@ -192,6 +210,8 @@ class ELLMatrix(LinearOperator):
         return jnp.sum(d * g, axis=1)
 
     def rmv(self, x):
+        if self.adj is not None:
+            return self.adj.mv(x)
         d = jnp.conj(self.data) if x.ndim == 1 else jnp.conj(self.data)[..., None]
         vals = d * x[:, None]  # (n, w) or (n, w, k)
         flat = vals.reshape((-1,) + vals.shape[2:])
@@ -215,12 +235,12 @@ class ELLMatrix(LinearOperator):
         return CSRMatrix.from_coo(rows[mask], cols[mask], data[mask], self._shape)
 
     def tree_flatten(self):
-        return (self.data, self.cols), self._shape
+        return (self.data, self.cols, self.adj), self._shape
 
     @classmethod
     def tree_unflatten(cls, aux, leaves):
         obj = object.__new__(cls)
-        obj.data, obj.cols = leaves
+        obj.data, obj.cols, obj.adj = leaves
         obj._shape = aux
         return obj
 

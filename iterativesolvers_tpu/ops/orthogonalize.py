@@ -24,7 +24,7 @@ import jax.numpy as jnp
 
 from ..solvers.common import norm
 
-__all__ = ["orthogonalize_and_normalize", "ORTH_METHODS"]
+__all__ = ["orthogonalize_and_normalize", "orthogonalize_and_normalize_rows", "ORTH_METHODS"]
 
 ORTH_METHODS = ("mgs", "cgs", "dgks")
 _DGKS_ETA = 1.0 / jnp.sqrt(2.0)  # src/orthogonalize.jl:19 ("used by ARPACK")
@@ -48,6 +48,54 @@ def _mgs(V, w):
     h0 = jnp.zeros(m, dtype=jnp.result_type(V.dtype, w.dtype))
     w, h = jax.lax.fori_loop(0, m, body, (w, h0))
     return h, w
+
+
+def _project_cgs_rows(Vt, w):
+    """CGS against the ROWS of a (m, n) panel: two MXU matvecs."""
+    h = jnp.conj(Vt) @ w
+    return h, w - jnp.tensordot(h, Vt, axes=1)
+
+
+def orthogonalize_and_normalize_rows(Vt, w, method: str = "mgs"):
+    """Row-panel variant: the basis is stored TRANSPOSED as (m, n) — rows are
+    the Krylov vectors.  On TPU this is the fast layout: a (n, m) panel with
+    m << 128 tiles as (8, 128) and every column op gathers across every lane
+    tile (measured 26 ms/iter GMRES on a 100k problem vs ~100 us in row
+    layout).  Inactive rows are zero, so full-panel ops stay exact.
+
+    MGS unrolls statically over the m rows (m = restart window is static) —
+    each step is a contiguous-row dot + axpy.
+    """
+    if method == "mgs":
+        h_parts = []
+        for j in range(Vt.shape[0]):  # static unroll, contiguous row reads
+            vj = Vt[j]
+            hj = jnp.sum(jnp.conj(vj) * w)
+            w = w - hj * vj
+            h_parts.append(hj)
+        h = jnp.stack(h_parts)
+    elif method == "cgs":
+        h, w = _project_cgs_rows(Vt, w)
+    elif method == "dgks":
+        h, w = _project_cgs_rows(Vt, w)
+
+        def cond(state):
+            w, h, nrm, it = state
+            return (nrm < _DGKS_ETA * norm(h)) & (it < _DGKS_MAX_REPEATS)
+
+        def body(state):
+            w, h, nrm, it = state
+            correction, w = _project_cgs_rows(Vt, w)
+            return w, h + correction, norm(w), it + 1
+
+        w, h, _, _ = jax.lax.while_loop(
+            cond, body, (w, h, norm(w), jnp.zeros((), jnp.int32))
+        )
+    else:
+        raise ValueError(f"unknown orthogonalization method {method!r}")
+    nrm = norm(w)
+    safe = jnp.where(nrm == 0, 1, nrm)
+    return w / safe, h, nrm
 
 
 def orthogonalize_and_normalize(V, w, method: str = "mgs"):

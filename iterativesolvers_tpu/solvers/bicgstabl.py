@@ -66,11 +66,14 @@ def _bicgstabl_prepare(op, b, x0, Pl, r_shadow, reltol, abstol, l, max_mv,
     tol = tolerance(nrm, reltol, abstol)
     max_cycles = max(1, (max_mv // (2 * l)) + 2)
 
-    rs = jnp.zeros((n, l + 1), dtype=dtype).at[:, 0].set(r)
+    # rs/us stored TRANSPOSED (l+1, n): rows are vectors, so the static
+    # column indexing below is contiguous row access (a (n, l+1) panel with
+    # l+1 << 128 lanes wastes most of each (8, 128) tile on TPU)
+    rs = jnp.zeros((l + 1, n), dtype=dtype).at[0].set(r)
     state0 = BiCGStabState(
         x=x,
         rs=rs,
-        us=jnp.zeros((n, l + 1), dtype=dtype),
+        us=jnp.zeros((l + 1, n), dtype=dtype),
         omega=jnp.ones((), dtype),
         sigma=jnp.ones((), dtype),
         mv=jnp.asarray(mv0, jnp.int32),
@@ -85,26 +88,26 @@ def _bicgstabl_prepare(op, b, x0, Pl, r_shadow, reltol, abstol, l, max_mv,
         sigma = -s.omega * s.sigma
         # BiCG half (src/bicgstabl.jl:88-112); j is static -> unrolled
         for j in range(l):
-            rho = vdot(r_shadow, rs[:, j])
+            rho = vdot(r_shadow, rs[j])
             beta = rho / sigma
-            us = us.at[:, : j + 1].set(rs[:, : j + 1] - beta * us[:, : j + 1])
-            next_u = Pl.ldiv(op.mv(us[:, j]))
-            us = us.at[:, j + 1].set(next_u)
+            us = us.at[: j + 1].set(rs[: j + 1] - beta * us[: j + 1])
+            next_u = Pl.ldiv(op.mv(us[j]))
+            us = us.at[j + 1].set(next_u)
             sigma = vdot(r_shadow, next_u)
             alpha = rho / sigma
-            rs = rs.at[:, : j + 1].add(-alpha * us[:, 1 : j + 2])
-            next_r = Pl.ldiv(op.mv(rs[:, j]))
-            rs = rs.at[:, j + 1].set(next_r)
-            x = x + alpha * us[:, 0]
+            rs = rs.at[: j + 1].add(-alpha * us[1 : j + 2])
+            next_r = Pl.ldiv(op.mv(rs[j]))
+            rs = rs.at[j + 1].set(next_r)
+            x = x + alpha * us[0]
 
         # MR half (src/bicgstabl.jl:117-131): small (l+1)^2 Gram + solve
-        M = jnp.conj(rs).T @ rs
+        M = jnp.conj(rs) @ rs.T
         gamma = jnp.linalg.solve(M[1:, 1:], M[1:, 0])
-        u0 = us[:, 0] - us[:, 1:] @ gamma
-        x = x + rs[:, :l] @ gamma
-        r0 = rs[:, 0] - rs[:, 1:] @ gamma
-        us = us.at[:, 0].set(u0)
-        rs = rs.at[:, 0].set(r0)
+        u0 = us[0] - jnp.tensordot(gamma, us[1:], axes=1)
+        x = x + jnp.tensordot(gamma, rs[:l], axes=1)
+        r0 = rs[0] - jnp.tensordot(gamma, rs[1:], axes=1)
+        us = us.at[0].set(u0)
+        rs = rs.at[0].set(r0)
         residual = norm(r0)
         return BiCGStabState(
             x=x, rs=rs, us=us,

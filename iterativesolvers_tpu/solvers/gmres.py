@@ -3,9 +3,13 @@
 TPU-native re-design of the reference ``src/gmres.jl``.  Differences from the
 reference, chosen for the hardware (not a translation):
 
-  * The Arnoldi panel V (n, m+1) and Hessenberg buffer are **static-shape**;
-    inactive columns are zero, so orthogonalization against the full panel is
-    exact and needs no dynamic slicing (SURVEY §7 "dynamic control flow").
+  * The Arnoldi panel is stored TRANSPOSED as V (m+1, n) — rows are the
+    Krylov vectors, so every panel op is a contiguous-row read/write or an
+    MXU matvec.  (A (n, m+1) column panel tiles as (8, 128) with m+1 << 128
+    lanes: each column access gathers across every tile — measured 26 ms per
+    Arnoldi step at n = 1e5 vs ~0.1 ms in row layout.)  Inactive rows are
+    zero, so orthogonalization against the full panel stays exact
+    (SURVEY §7 "dynamic control flow").
   * The Hessenberg QR is maintained **incrementally with Givens rotations**
     (one new rotation per iteration), so the residual estimate ``|g[k+1]|`` is
     free and the restart solve is a masked back-substitution.  The reference
@@ -34,7 +38,7 @@ from ..operators.linear_operator import as_operator
 from ..operators.preconditioners import as_preconditioner
 from ..ops.givens import apply_givens, givens
 from ..ops.hessenberg import back_substitute
-from ..ops.orthogonalize import orthogonalize_and_normalize
+from ..ops.orthogonalize import orthogonalize_and_normalize_rows
 from ..utils.dtypes import real_dtype, solve_dtype
 from .common import SolveResult, make_history, norm, resolve_tols, tolerance, with_highest_precision, run_chunked, SolverIterator, print_resnorms
 
@@ -43,7 +47,7 @@ __all__ = ["gmres", "gmres_iterator"]
 
 class GMRESState(NamedTuple):
     x: jax.Array
-    V: jax.Array          # (n, m+1) Arnoldi basis, zero beyond active columns
+    V: jax.Array          # (m+1, n) Arnoldi basis rows, zero beyond active
     R: jax.Array          # (m+1, m) rotated Hessenberg (upper triangular)
     g: jax.Array          # (m+1,) rotated rhs
     cs: jax.Array         # (m,) Givens cosines (real)
@@ -63,7 +67,7 @@ def _fresh_cycle(op, Pl, b, x, m, dtype):
     r = Pl.ldiv(b - op.mv(x))
     beta = norm(r)
     safe = jnp.where(beta == 0, 1, beta)
-    V = jnp.zeros((n, m + 1), dtype=dtype).at[:, 0].set(r / safe)
+    V = jnp.zeros((m + 1, n), dtype=dtype).at[0].set(r / safe)
     R = jnp.zeros((m + 1, m), dtype=dtype)
     g = jnp.zeros(m + 1, dtype=dtype).at[0].set(beta.astype(dtype))
     cs = jnp.ones(m, dtype=real_dtype(dtype))
@@ -76,9 +80,9 @@ def _arnoldi_step(op, Pl, Pr, state: GMRESState, orth_method: str):
     m = state.R.shape[1]
     k = state.k
     # expand! (src/gmres.jl:285-304): w = Pl^{-1} A Pr^{-1} v_k
-    v = jax.lax.dynamic_slice_in_dim(state.V, k, 1, axis=1)[:, 0]
+    v = jax.lax.dynamic_slice_in_dim(state.V, k, 1, axis=0)[0]
     w = Pl.ldiv(op.mv(Pr.ldiv(v)))
-    w, h, nrm = orthogonalize_and_normalize(state.V, w, orth_method)
+    w, h, nrm = orthogonalize_and_normalize_rows(state.V, w, orth_method)
     # Hessenberg column: h[0..k] + subdiagonal nrm at k+1
     hcol = h.at[k + 1].set(nrm.astype(h.dtype))
 
@@ -96,7 +100,7 @@ def _arnoldi_step(op, Pl, Pr, state: GMRESState, orth_method: str):
     g = state.g.at[k].set(gk).at[k + 1].set(gk1)
     residual = jnp.abs(gk1)
 
-    V = jax.lax.dynamic_update_slice_in_dim(state.V, w[:, None], k + 1, axis=1)
+    V = jax.lax.dynamic_update_slice_in_dim(state.V, w[None, :], k + 1, axis=0)
     R = jax.lax.dynamic_update_slice_in_dim(state.R, hcol[:, None], k, axis=1)
     cs = state.cs.at[k].set(c.astype(state.cs.dtype))
     ss = state.ss.at[k].set(s)
@@ -122,7 +126,7 @@ def _gmres_prepare(op, b, x0, Pl, Pr, reltol, abstol, restart, maxiter,
     tol = tolerance(beta, reltol, abstol)
     n = b.shape[0]
     safe = jnp.where(beta == 0, 1, beta)
-    V = jnp.zeros((n, m + 1), dtype=dtype).at[:, 0].set(r / safe)
+    V = jnp.zeros((m + 1, n), dtype=dtype).at[0].set(r / safe)
     state = GMRESState(
         x=x,
         V=V,
@@ -147,7 +151,7 @@ def _gmres_prepare(op, b, x0, Pl, Pr, reltol, abstol, restart, maxiter,
 
         def do_finalize(st):
             y = back_substitute(st.R[:m, :], st.g[:m], st.k)
-            x = st.x + Pr.ldiv(st.V[:, :m] @ y)
+            x = st.x + Pr.ldiv(jnp.tensordot(y, st.V[:m], axes=1))
             done = (st.residual <= st.tol) | (st.kt >= maxiter)
 
             def do_restart(stt):

@@ -82,9 +82,11 @@ def _idrs_prepare(op, b, x0, Pl, P, reltol, abstol, s, maxiter, smoothing,
     n = b.shape[0]
     idx = jnp.arange(s)
 
+    # U/G and the shadow space stored TRANSPOSED (s, n): rows are vectors
+    # (lane-padding economics of (n, s) panels on TPU)
     state0 = IDRSState(
         X=X, R=R, X_s=X, R_s=R,
-        U=jnp.zeros((n, s), dtype), G=jnp.zeros((n, s), dtype),
+        U=jnp.zeros((s, n), dtype), G=jnp.zeros((s, n), dtype),
         M=jnp.eye(s, dtype=dtype), f=jnp.zeros(s, dtype),
         omega=jnp.ones((), dtype),
         normR=normR, tol=tol,
@@ -94,7 +96,7 @@ def _idrs_prepare(op, b, x0, Pl, P, reltol, abstol, s, maxiter, smoothing,
 
     def k_step(st: IDRSState) -> IDRSState:
         k = st.step
-        f = jnp.where(k == 0, jnp.conj(P).T @ st.R, st.f)
+        f = jnp.where(k == 0, jnp.conj(P) @ st.R, st.f)
 
         # c = LowerTriangular(M[k:s,k:s]) \ f[k:s], zero-padded below k:
         # mask M to identity outside the active block, f to zero below k
@@ -105,8 +107,8 @@ def _idrs_prepare(op, b, x0, Pl, P, reltol, abstol, s, maxiter, smoothing,
         fmask = jnp.where(idx >= k, f, 0)
         c = jax.scipy.linalg.solve_triangular(Mmask, fmask, lower=True)
 
-        V = st.R - st.G @ c
-        Q = st.U @ c
+        V = st.R - jnp.tensordot(c, st.G, axes=1)
+        Q = jnp.tensordot(c, st.U, axes=1)
         V = Pl.ldiv(V)
         uk = Q + st.omega * V
         gk = op.mv(uk)
@@ -114,13 +116,16 @@ def _idrs_prepare(op, b, x0, Pl, P, reltol, abstol, s, maxiter, smoothing,
         # bi-orthogonalize against P_i, i < k (src/idrs.jl:206-210)
         def biortho(i, carry):
             gk, uk = carry
-            alpha = jnp.where(i < k, vdot(P[:, i], gk) / st.M[i, i], 0)
-            return gk - alpha * st.G[:, i], uk - alpha * st.U[:, i]
+            P_i = jax.lax.dynamic_slice_in_dim(P, i, 1, axis=0)[0]
+            G_i = jax.lax.dynamic_slice_in_dim(st.G, i, 1, axis=0)[0]
+            U_i = jax.lax.dynamic_slice_in_dim(st.U, i, 1, axis=0)[0]
+            alpha = jnp.where(i < k, vdot(P_i, gk) / st.M[i, i], 0)
+            return gk - alpha * G_i, uk - alpha * U_i
 
         gk, uk = jax.lax.fori_loop(0, s, biortho, (gk, uk))
 
         # new column M[k:s, k] = P[k:s]' gk (src/idrs.jl:214-216)
-        m_new = jnp.conj(P).T @ gk
+        m_new = jnp.conj(P) @ gk
         M = jnp.where((col == k) & (row >= k), m_new[:, None], st.M)
 
         beta = f[k] / M[k, k]
@@ -132,8 +137,8 @@ def _idrs_prepare(op, b, x0, Pl, P, reltol, abstol, s, maxiter, smoothing,
             X_s, R_s, normR = _smooth(X_s, R_s, X, R)
         f = jnp.where(idx > k, f - beta * jnp.take(M, k, axis=1), f)
 
-        U = jnp.where(idx[None, :] == k, uk[:, None], st.U)
-        G = jnp.where(idx[None, :] == k, gk[:, None], st.G)
+        U = jax.lax.dynamic_update_slice_in_dim(st.U, uk[None, :], k, axis=0)
+        G = jax.lax.dynamic_update_slice_in_dim(st.G, gk[None, :], k, axis=0)
         return st._replace(
             X=X, R=R, X_s=X_s, R_s=R_s, U=U, G=G, M=M, f=f,
             normR=normR, it=st.it + 1, step=k + 1,
@@ -214,11 +219,11 @@ def idrs(
     if jnp.issubdtype(jnp.dtype(dtype), jnp.complexfloating):
         rdt = real_dtype(dtype)
         P = (
-            jax.random.uniform(key, (n, int(s)), dtype=rdt)
-            + 1j * jax.random.uniform(jax.random.fold_in(key, 1), (n, int(s)), dtype=rdt)
+            jax.random.uniform(key, (int(s), n), dtype=rdt)
+            + 1j * jax.random.uniform(jax.random.fold_in(key, 1), (int(s), n), dtype=rdt)
         ).astype(dtype)
     else:
-        P = jax.random.uniform(key, (n, int(s)), dtype=dtype)
+        P = jax.random.uniform(key, (int(s), n), dtype=dtype)
     res = _idrs_jit(
         op, b, jnp.asarray(x0), Pl, P, reltol_, abstol_, int(s), maxiter,
         bool(smoothing), initially_zero,
@@ -262,11 +267,11 @@ def idrs_iterator(
     if jnp.issubdtype(jnp.dtype(dtype), jnp.complexfloating):
         rdt = real_dtype(dtype)
         P = (
-            jax.random.uniform(key, (n, int(s)), dtype=rdt)
-            + 1j * jax.random.uniform(jax.random.fold_in(key, 1), (n, int(s)), dtype=rdt)
+            jax.random.uniform(key, (int(s), n), dtype=rdt)
+            + 1j * jax.random.uniform(jax.random.fold_in(key, 1), (int(s), n), dtype=rdt)
         ).astype(dtype)
     else:
-        P = jax.random.uniform(key, (n, int(s)), dtype=dtype)
+        P = jax.random.uniform(key, (int(s), n), dtype=dtype)
     state0, step, done = _idrs_prepare(
         op, b, jnp.asarray(x0), Pl, P, reltol_, abstol_, int(s), maxiter,
         bool(smoothing), initially_zero,

@@ -45,20 +45,25 @@ __all__ = ["svdl", "PartialFactorization"]
 
 
 class PartialFactorization(NamedTuple):
-    """~ ``PartialFactorization{P,Q,B,beta}`` (src/svdl.jl:76-81).
-    ``AQ[:, :j] = P B[:j, :j]``; ``A'P = Q B' + beta * q_{k+1} e_k'``."""
+    """~ ``PartialFactorization{P,Q,B,beta}`` (src/svdl.jl:76-81), with the
+    Lanczos panels stored TRANSPOSED (rows = Lanczos vectors): on TPU a
+    (n, k) column panel with k << 128 lanes tiles as (8, 128) and every
+    dynamic column access gathers across all tiles — row layout keeps panel
+    reads/writes contiguous and reorthogonalization on the MXU.
+    In column terms: ``A Q[:j] = B[:j, :j]' P`` and
+    ``A' P = B' Q + beta * q_{k+1} e_k'``."""
 
-    P: jax.Array      # (m, k) left Lanczos panel
-    Q: jax.Array      # (n, k+1) right Lanczos panel
+    P: jax.Array      # (k, m) left Lanczos panel (rows are vectors)
+    Q: jax.Array      # (k+1, n) right Lanczos panel (rows are vectors)
     B: jax.Array      # (k, k+1): square part + trailing-beta column
     beta: jax.Array   # coupling scalar == B[k-1, k]
 
 
 def _reorth(panel, v):
-    """Double classical Gram-Schmidt of v against the columns of panel
-    (zeros for stale columns).  ~ src/svdl.jl:565-577."""
-    v = v - panel @ (panel.conj().T @ v)
-    v = v - panel @ (panel.conj().T @ v)
+    """Double classical Gram-Schmidt of v against the ROWS of panel
+    (zeros for stale rows).  ~ src/svdl.jl:565-577."""
+    v = v - jnp.tensordot(jnp.conj(panel) @ v, panel, axes=1)
+    v = v - jnp.tensordot(jnp.conj(panel) @ v, panel, axes=1)
     return v
 
 
@@ -69,19 +74,21 @@ def _gkl_extend(op, P, Q, B, j0: int, k: int):
 
     def step(j, carry):
         P, Q, B = carry
-        # p = A q_j - P B[:, j]  (B column j carries the arrow after restart)
-        p = op.mv(Q[:, j]) - P @ B[:, j]
+        q_j = jax.lax.dynamic_slice_in_dim(Q, j, 1, axis=0)[0]
+        # p = A q_j - B[:, j]' P  (B column j carries the arrow after restart)
+        p = op.mv(q_j) - jnp.tensordot(B[:, j], P, axes=1)
         p = _reorth(P, p)
         alpha = norm(p)
         inv_a = jnp.where(alpha > 0, 1.0 / jnp.where(alpha > 0, alpha, 1.0), 0.0)
-        P = P.at[:, j].set(p * inv_a)
+        p = p * inv_a
+        P = jax.lax.dynamic_update_slice_in_dim(P, p[None, :], j, axis=0)
         B = B.at[j, j].set(alpha)
         # r = A' p_j - alpha q_j
-        r = op.rmv(P[:, j]) - alpha * Q[:, j]
+        r = op.rmv(p) - alpha * q_j
         r = _reorth(Q, r)
         beta = norm(r)
         inv_b = jnp.where(beta > 0, 1.0 / jnp.where(beta > 0, beta, 1.0), 0.0)
-        Q = Q.at[:, j + 1].set(r * inv_b)
+        Q = jax.lax.dynamic_update_slice_in_dim(Q, (r * inv_b)[None, :], j + 1, axis=0)
         B = B.at[j, j + 1].set(beta)
         return P, Q, B
 
@@ -98,8 +105,8 @@ def _build(op, v0, op_k: int):
     m, n = op.shape
     dtype = v0.dtype
     q0 = v0 / norm(v0)
-    P = jnp.zeros((m, k), dtype)
-    Q = jnp.zeros((n, k + 1), dtype).at[:, 0].set(q0)
+    P = jnp.zeros((k, m), dtype)
+    Q = jnp.zeros((k + 1, n), dtype).at[0].set(q0)
     B = jnp.zeros((k, k + 1), dtype)
     P, Q, B, beta = _gkl_extend(op, P, Q, B, 0, k)
     return PartialFactorization(P, Q, B, beta)
@@ -116,11 +123,12 @@ def _restart_and_extend(op, L: PartialFactorization, U, s, V, conv_mask,
     dtype = L.P.dtype
     Ul = U[:, :l].astype(dtype)
     Vl = V[:, :l].astype(dtype)
-    Pn = jnp.zeros((m, k), dtype).at[:, :l].set(L.P @ Ul)
+    # row-panel updates: (P Ul)^T = Ul^T P_rows, etc.
+    Pn = jnp.zeros((k, m), dtype).at[:l].set(Ul.T @ L.P)
     Qn = (
-        jnp.zeros((n, k + 1), dtype)
-        .at[:, :l].set(L.Q[:, :k] @ Vl)
-        .at[:, l].set(L.Q[:, k])
+        jnp.zeros((k + 1, n), dtype)
+        .at[:l].set(Vl.T @ L.Q[:k])
+        .at[l].set(L.Q[k])
     )
     # arrow: rho_i = beta * U[k-1, i]  (src/svdl.jl:382-390)
     rho = (L.beta * U[k - 1, :l].conj()).astype(dtype)
@@ -178,13 +186,13 @@ def _harmonic_restart_and_extend(op, L: PartialFactorization, U0, s, V0,
         .at[k, l].set(1.0)
     )
     Qf, Rf = jnp.linalg.qr(M2, mode="reduced")              # (k+1,l+1), (l+1,l+1)
-    Qn = L.Q[:, :k + 1] @ Qf                                # (n, l+1)
-    Pn = L.P @ Unew                                         # (m, l)
+    Qn = Qf.T @ L.Q                                         # (l+1, n) rows
+    Pn = Unew.T @ L.P                                       # (l, m) rows
     R = Rf[:, :l] + Rf[:, l:l + 1] @ Mend[None, :]          # (l+1, l)
 
     # continue the factorization: f = A q_{l+1} orthogonalized against P
-    f = op.mv(Qn[:, l])
-    f = f - Pn @ (Pn.conj().T @ f)
+    f = op.mv(Qn[l])
+    f = f - jnp.tensordot(jnp.conj(Pn) @ f, Pn, axes=1)
     alpha = norm(f)
     inv_a = jnp.where(alpha > 0, 1.0 / jnp.where(alpha > 0, alpha, 1.0), 0.0)
     f = f * inv_a
@@ -194,8 +202,8 @@ def _harmonic_restart_and_extend(op, L: PartialFactorization, U0, s, V0,
         jnp.zeros((1, l + 1), dtype).at[0, l].set(alpha),
     ])                                                      # (l+1, l+1)
 
-    P = jnp.zeros((m, k), dtype).at[:, :l].set(Pn).at[:, l].set(f)
-    Q = jnp.zeros((n, k + 1), dtype).at[:, :l + 1].set(Qn)
+    P = jnp.zeros((k, m), dtype).at[:l].set(Pn).at[l].set(f)
+    Q = jnp.zeros((k + 1, n), dtype).at[:l + 1].set(Qn)
     B = jnp.zeros((k, k + 1), dtype).at[:l + 1, :l + 1].set(Bsmall)
 
     # GKL half-step: q_{l+2} from A'f, then the standard loop at j0 = l+1
@@ -203,7 +211,7 @@ def _harmonic_restart_and_extend(op, L: PartialFactorization, U0, s, V0,
     g = _reorth(Q, g)
     beta2 = norm(g)
     inv_b = jnp.where(beta2 > 0, 1.0 / jnp.where(beta2 > 0, beta2, 1.0), 0.0)
-    Q = Q.at[:, l + 1].set(g * inv_b)
+    Q = Q.at[l + 1].set(g * inv_b)
     B = B.at[l, l + 1].set(beta2)
 
     P, Q, B, beta_out = _gkl_extend(op, P, Q, B, l + 1, k)
@@ -332,8 +340,8 @@ def svdl(
     if vecs == "none":
         out = (values, L)
     else:
-        left = L.P @ U[:, :l] if vecs in ("left", "both") else None
-        right = (L.Q[:, :k] @ V[:, :l]).conj().T if vecs in ("right", "both") else None
+        left = (U[:, :l].T @ L.P).T if vecs in ("left", "both") else None
+        right = jnp.conj(V[:, :l].T @ L.Q[:k]) if vecs in ("right", "both") else None
         out = ((left, values, right), L)
     if log:
         return (*out, history)

@@ -144,3 +144,19 @@ def test_bsr_in_solver(rng):
     b = rng.random(n)
     x = np.asarray(its.cg(bsr, b, reltol=1e-10))
     assert np.linalg.norm(M @ x - b) / np.linalg.norm(b) < 1e-8
+
+
+def test_ell_with_adjoint(rng):
+    import numpy as np
+    import jax, jax.numpy as jnp
+    from iterativesolvers_tpu.operators.sparse import csr_from_dense
+
+    M = rng.random((25, 18)).astype(np.complex128) * (1 + 1j)
+    M[np.abs(M.real) < 0.6] = 0
+    ell = csr_from_dense(M).to_ell().with_adjoint()
+    x = rng.random(25) + 1j * rng.random(25)
+    np.testing.assert_allclose(
+        np.asarray(ell.rmv(jnp.asarray(x))), M.conj().T @ x, rtol=1e-10
+    )
+    # idempotent
+    assert ell.with_adjoint() is ell

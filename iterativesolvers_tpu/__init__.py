@@ -56,6 +56,7 @@ from .solvers.stationary import (
 )
 from .ops.orthogonalize import orthogonalize_and_normalize
 from .ops.triangular import LevelScheduledTriangular
+from .utils.dtypes import zerox
 from .utils.history import ConvergenceHistory
 from .utils.io import load_matrix_market
 

@@ -23,6 +23,14 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
+# The container's sitecustomize registers the axon TPU plugin before env
+# vars are read, so JAX_PLATFORMS=cpu is ignored; force it via jax.config
+# (must happen before any backend is initialized).
+if os.environ.get("JAX_PLATFORMS", "").startswith("cpu"):
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
 
 def main():
     import jax

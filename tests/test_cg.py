@@ -148,3 +148,19 @@ def test_history_repr_and_plot(rng):
     assert h.nprods() == h.mvps
     plot = h.plot("resnorm")
     assert "iterations" in plot
+
+
+def test_baseline_config1_laplace64():
+    """BASELINE workload 1: CG on the 64x64 2-D Laplace fixture, Float64,
+    rtol 1e-8 — the driver's minimum end-to-end slice (SURVEY §7 step 3)."""
+    from iterativesolvers_tpu.utils.fixtures import laplace_dia
+
+    A = laplace_dia(64, 2)
+    n = A.shape[0]
+    b = np.ones(n)
+    x, h = cg(A, b, reltol=1e-8, log=True)
+    assert h.isconverged
+    # unpreconditioned CG on the 2-D Laplacian: O(side) iterations
+    assert 64 <= h.iters <= 400
+    r = np.asarray(A.mv(jnp.asarray(x))) - b
+    assert np.linalg.norm(r) / np.linalg.norm(b) < 1e-7

@@ -113,13 +113,15 @@ def bench_stationary():
                       symmetrize=True, shift=4.0)
     b = jnp.ones((n,), jnp.float32)
     detail = {}
-    for name, fn, args in (
-        ("jacobi", its.jacobi, ()),
-        ("gauss_seidel", its.gauss_seidel, ()),
-        ("sor", its.sor, (1.1,)),
-        ("ssor", its.ssor, (1.1,)),
+    for name, fn, args, kw in (
+        ("jacobi", its.jacobi, (), {}),
+        ("gauss_seidel", its.gauss_seidel, (), {}),
+        ("sor", its.sor, (1.1,), {}),
+        ("ssor", its.ssor, (1.1,), {}),
+        ("gs_multicolor", its.gauss_seidel, (), {"ordering": "multicolor"}),
+        ("sor_multicolor", its.sor, (1.1,), {"ordering": "multicolor"}),
     ):
-        t, _ = _timeit(lambda: fn(A, b, *args, maxiter=20))
+        t, _ = _timeit(lambda: fn(A, b, *args, maxiter=20, **kw))
         detail[name] = round(t, 4)
     return dict(wall_s=detail["sor"], iters=20, converged=True, detail=detail)
 

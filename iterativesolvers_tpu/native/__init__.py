@@ -219,3 +219,32 @@ def extract_diagonal(indptr, indices, data, n: int):
         ctypes.c_int64(n), _ptr(diag, _f64p),
     )
     return diag, int(bad)
+
+
+def greedy_coloring(indptr, indices, n: int):
+    """(colors (n,), ncolors): greedy multicoloring of the sparsity graph.
+    Pass the symmetrized pattern for nonsymmetric matrices."""
+    indptr = np.ascontiguousarray(indptr, np.int64)
+    indices = np.ascontiguousarray(indices, np.int32)
+    lib = get_lib()
+    color = np.zeros(n, np.int64)
+    if lib is None:
+        mark = np.full(n, -1, np.int64)
+        nc = 0
+        for r in range(n):
+            seg = indices[indptr[r]: indptr[r + 1]]
+            for j in seg:
+                if j < r:
+                    mark[color[j]] = r
+            c = 0
+            while c < n and mark[c] == r:
+                c += 1
+            color[r] = c
+            nc = max(nc, c + 1)
+        return color, nc
+    lib.greedy_coloring.restype = ctypes.c_int64
+    nc = lib.greedy_coloring(
+        _ptr(indptr, _i64p), _ptr(indices, _i32p), ctypes.c_int64(n),
+        _ptr(color, _i64p),
+    )
+    return color, int(nc)

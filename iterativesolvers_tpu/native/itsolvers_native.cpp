@@ -220,3 +220,36 @@ int64_t extract_diagonal(
 }
 
 }  // extern "C"
+
+extern "C" {
+
+// ---------------------------------------------------------------------------
+// Greedy graph coloring of the (symmetrized) sparsity pattern — rows with
+// the same color share no edge, so a Gauss-Seidel/SOR sweep can update each
+// color class fully in parallel (the multicolor alternative to level
+// scheduling, SURVEY §7).  Input is full-matrix CSR (diagonal ignored).
+// Returns the number of colors.
+// ---------------------------------------------------------------------------
+int64_t greedy_coloring(
+    const int64_t* indptr, const int32_t* indices, int64_t n,
+    int64_t* color /* out (n,), caller-zeroed */)
+{
+    std::vector<int64_t> mark(n, -1);
+    int64_t ncolors = 0;
+    for (int64_t r = 0; r < n; ++r) {
+        // mark neighbor colors (out-edges; for nonsymmetric patterns the
+        // caller passes A + A^T structure)
+        for (int64_t p = indptr[r]; p < indptr[r + 1]; ++p) {
+            int64_t j = indices[p];
+            if (j == r || j >= n) continue;
+            if (j < r) mark[color[j]] = r;
+        }
+        int64_t c = 0;
+        while (c < n && mark[c] == r) ++c;
+        color[r] = c;
+        ncolors = c + 1 > ncolors ? c + 1 : ncolors;
+    }
+    return ncolors;
+}
+
+}  // extern "C"

@@ -177,6 +177,57 @@ _SWEEPS = {
 }
 
 
+# ---------------------------------------------------------------------------
+# Multicolor sweeps (ordering="multicolor")
+#
+# Level scheduling preserves the reference's natural update order but is
+# depth-bound: on random sparsity the dependency DAG can be O(n) deep.  The
+# classical TPU/GPU alternative (SURVEY §7 step 6) is greedy multicoloring:
+# rows of one color share no edge, so each color class updates fully in
+# parallel — a sweep is `ncolors` masked Jacobi-style passes.  The update
+# ORDER differs from the natural ordering (documented deviation; the
+# reference itself deviates from textbook row order by sweeping CSC
+# column-major, docs/src/linear_systems/stationary.md:5-8 — fixed sweep
+# count, not ordering, is the contract).
+# ---------------------------------------------------------------------------
+
+
+def _color_classes(A_csr) -> jax.Array:
+    """Greedy coloring of the symmetrized pattern (native C++ pass)."""
+    from ..native import greedy_coloring
+
+    n = A_csr.shape[0]
+    rows = np.asarray(A_csr.row_ids, np.int64)
+    cols = np.asarray(A_csr.indices, np.int64)
+    # symmetrize the pattern so nonsymmetric matrices color correctly
+    rs = np.concatenate([rows, cols])
+    cs = np.concatenate([cols, rows])
+    sym = CSRMatrix.from_coo(rs, cs, np.ones(rs.size), (n, n))
+    color, nc = greedy_coloring(
+        np.asarray(sym.indptr, np.int64), np.asarray(sym.indices), n
+    )
+    return jnp.asarray(color, jnp.int32), int(nc)
+
+
+def _mc_pass(split: _Split, color, c, b, x, omega):
+    off = _mv_strict(split, "L", x) + _mv_strict(split, "U", x)
+    z = (b - off) / split.diag
+    xi = z if omega is None else (1.0 - omega) * x + omega * z
+    return jnp.where(color == c, xi, x)
+
+
+def _make_mc_sweep(method: str, ncolors: int):
+    def sweep(split, color, b, x, omega):
+        for c in range(ncolors):          # static unroll
+            x = _mc_pass(split, color, c, b, x, omega)
+        if method == "ssor":
+            for c in range(ncolors - 1, -1, -1):
+                x = _mc_pass(split, color, c, b, x, omega)
+        return x
+
+    return sweep
+
+
 @partial(jax.jit, static_argnames=("method", "maxiter"))
 def _run(split: _Split, b, x0, omega, method: str, maxiter: int):
     sweep = _SWEEPS[method]
@@ -185,9 +236,19 @@ def _run(split: _Split, b, x0, omega, method: str, maxiter: int):
     )
 
 
-def _prep(A, b, x0, method):
-    need_lo = method in ("gauss_seidel", "sor", "ssor")
-    need_up = method == "ssor"
+@partial(jax.jit, static_argnames=("method", "maxiter", "ncolors"))
+def _run_mc(split: _Split, color, b, x0, omega, method: str, maxiter: int,
+            ncolors: int):
+    sweep = _make_mc_sweep(method, ncolors)
+    return jax.lax.fori_loop(
+        0, maxiter, lambda _, x: sweep(split, color, b, x, omega), x0
+    )
+
+
+def _prep(A, b, x0, method, ordering="natural"):
+    multicolor = ordering == "multicolor" and method != "jacobi"
+    need_lo = not multicolor and method in ("gauss_seidel", "sor", "ssor")
+    need_up = not multicolor and method == "ssor"
     split = _split_matrix(A, need_lower_solve=need_lo, need_upper_solve=need_up)
     b = jnp.asarray(b)
     dtype = solve_dtype(split.diag.dtype, b.dtype)
@@ -195,30 +256,44 @@ def _prep(A, b, x0, method):
     return split, b, x
 
 
-def jacobi(A, b, *, x0=None, maxiter: int = 10):
+def _solve(A, b, omega, x0, maxiter, method, ordering):
+    if ordering not in ("natural", "multicolor"):
+        raise ValueError("ordering must be 'natural' or 'multicolor'")
+    split, b, x = _prep(A, b, x0, method, ordering)
+    om = None if omega is None else jnp.asarray(omega, split.diag.dtype)
+    if ordering == "multicolor" and method != "jacobi":
+        Ac = A.to_csr() if isinstance(A, (DIAMatrix, ELLMatrix)) else (
+            A if isinstance(A, CSRMatrix) else csr_from_dense(np.asarray(A))
+        )
+        color, nc = _color_classes(Ac)
+        return _run_mc(split, color, b, x, om, method, int(maxiter), nc)
+    return _run(split, b, x, om, method, int(maxiter))
+
+
+def jacobi(A, b, *, x0=None, maxiter: int = 10, ordering: str = "natural"):
     """``maxiter`` Jacobi sweeps (~ ``jacobi(!)``, src/stationary.jl:13-49)."""
-    split, b, x = _prep(A, b, x0, "jacobi")
-    return _run(split, b, x, None, "jacobi", int(maxiter))
+    return _solve(A, b, None, x0, maxiter, "jacobi", ordering)
 
 
-def gauss_seidel(A, b, *, x0=None, maxiter: int = 10):
+def gauss_seidel(A, b, *, x0=None, maxiter: int = 10, ordering: str = "natural"):
     """``maxiter`` Gauss-Seidel sweeps (~ ``gauss_seidel(!)``,
-    src/stationary.jl:73-118)."""
-    split, b, x = _prep(A, b, x0, "gauss_seidel")
-    return _run(split, b, x, None, "gauss_seidel", int(maxiter))
+    src/stationary.jl:73-118).  ``ordering='multicolor'`` runs the sweep in
+    greedy-coloring order — ncolors parallel passes instead of a
+    dependency-depth-bound level schedule (fast path for random sparsity)."""
+    return _solve(A, b, None, x0, maxiter, "gauss_seidel", ordering)
 
 
-def sor(A, b, omega: float, *, x0=None, maxiter: int = 10):
+def sor(A, b, omega: float, *, x0=None, maxiter: int = 10,
+        ordering: str = "natural"):
     """``maxiter`` SOR(omega) sweeps (~ ``sor(!)``, src/stationary.jl:131-177)."""
-    split, b, x = _prep(A, b, x0, "sor")
-    return _run(split, b, x, jnp.asarray(omega, split.diag.dtype), "sor", int(maxiter))
+    return _solve(A, b, omega, x0, maxiter, "sor", ordering)
 
 
-def ssor(A, b, omega: float, *, x0=None, maxiter: int = 10):
-    """``maxiter`` symmetric-SOR sweeps — one forward + one backward SOR pass
+def ssor(A, b, omega: float, *, x0=None, maxiter: int = 10,
+         ordering: str = "natural"):
+    """``maxiter`` symmetric-SOR sweeps — one forward + one backward pass
     per iteration (~ ``ssor(!)``, src/stationary.jl:190-263)."""
-    split, b, x = _prep(A, b, x0, "ssor")
-    return _run(split, b, x, jnp.asarray(omega, split.diag.dtype), "ssor", int(maxiter))
+    return _solve(A, b, omega, x0, maxiter, "ssor", ordering)
 
 
 # ---------------------------------------------------------------------------

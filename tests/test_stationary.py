@@ -143,3 +143,36 @@ def test_jacobi_iterable_checkpoint(rng):
     x_mid = np.asarray(it.state.x)
     x_direct = np.asarray(jacobi(A, b, maxiter=4))
     np.testing.assert_allclose(x_mid, x_direct, rtol=1e-12)
+
+
+@pytest.mark.parametrize("method,args", [
+    ("gauss_seidel", ()), ("sor", (1.1,)), ("ssor", (1.1,)),
+])
+def test_multicolor_ordering_converges(rng, method, args):
+    """ordering='multicolor': greedy-coloring sweeps reach the same fixed
+    point (update order differs from natural — documented deviation)."""
+    n = 40
+    A = _dd_matrix(rng, n)
+    x_true = rng.random(n)
+    b = A @ x_true
+    fn = {"gauss_seidel": gauss_seidel, "sor": sor, "ssor": ssor}[method]
+    for op in (A, csr_from_dense(A)):
+        x = fn(op, b, *args, maxiter=300, ordering="multicolor")
+        assert np.linalg.norm(A @ np.asarray(x) - b) / np.linalg.norm(b) < 1e-8
+
+
+def test_multicolor_coloring_valid(rng):
+    from iterativesolvers_tpu import native
+
+    n = 80
+    M = rng.random((n, n))
+    M[M < 0.85] = 0
+    M += M.T + np.eye(n)
+    csr = csr_from_dense(M)
+    color, nc = native.greedy_coloring(
+        np.asarray(csr.indptr, np.int64), np.asarray(csr.indices), n
+    )
+    rows, cols = np.asarray(csr.row_ids), np.asarray(csr.indices)
+    off = rows != cols
+    assert not np.any(color[rows[off]] == color[cols[off]])
+    assert nc == color.max() + 1

@@ -54,7 +54,7 @@ from .solvers.stationary import (
     ssor,
     ssor_iterable,
 )
-from .ops.orthogonalize import orthogonalize_and_normalize
+from .ops.orthogonalize import ORTH_METHODS, orthogonalize_and_normalize
 from .ops.triangular import LevelScheduledTriangular
 from .utils.dtypes import zerox
 from .utils.history import ConvergenceHistory

@@ -127,6 +127,10 @@ def cg(
     Mirrors ``cg`` / ``cg!`` (src/cg.jl:162,209-242): pass ``x0`` for the
     in-place form's warm start; returns ``x`` or ``(x, ConvergenceHistory)``
     when ``log=True``.
+
+    The reference's ``CGStateVariables`` scratch-buffer reuse (src/cg.jl:
+    114-124) has no functional analogue: XLA buffer-donates the loop carry,
+    so repeated solves already reuse device memory.
     """
     op = as_operator(A, b)
     Pl = as_preconditioner(Pl)

@@ -192,7 +192,20 @@ def run_chunked(step, done, state, chunk: int = 64):
             s, stepped,
         )
 
-    def body(s):
-        return jax.lax.fori_loop(0, chunk, guarded, s)
+    def run_phase(s, c):
+        return jax.lax.fori_loop(0, c, guarded, s)
 
-    return jax.lax.while_loop(lambda s: ~done(s), body, state)
+    # progressive warmup: masked steps still execute (discarded) work, so a
+    # solve converging at iteration ~10 should not burn a full 64-step
+    # chunk.  Short phases first (each skipped entirely once done — a
+    # phase-granularity lax.cond costs one carry copy, paid at most 3
+    # times per solve), then the steady-state chunk.
+    for c in (8, 16, 32):
+        if c < chunk:
+            state = jax.lax.cond(
+                done(state), lambda t: t, lambda t: run_phase(t, c), state
+            )
+
+    return jax.lax.while_loop(
+        lambda s: ~done(s), lambda s: run_phase(s, chunk), state
+    )

@@ -184,3 +184,22 @@ def test_chebyshev_preconditioned(rng):
     )
     assert h.isconverged
     assert np.linalg.norm(A @ np.asarray(x) - b) / np.linalg.norm(b) <= 1e-6
+
+
+def test_baseline_config2_advection_diffusion():
+    """BASELINE workload 2: GMRES(20) + BiCGStab(2) on the 3-D advection-
+    diffusion operator (benchmark/advection_diffusion.jl:3-31)."""
+    from iterativesolvers_tpu.utils.fixtures import advection_diffusion
+    import iterativesolvers_tpu as its
+
+    A, b = advection_diffusion(10)
+    bj = jnp.asarray(b)
+    x, h = its.gmres(A, bj, restart=20, reltol=1e-8, maxiter=600, log=True)
+    assert h.isconverged
+    r = np.asarray(A.mv(x)) - b
+    assert np.linalg.norm(r) / np.linalg.norm(b) < 1e-6
+
+    x2, h2 = its.bicgstabl(A, bj, 2, max_mv_products=4000, reltol=1e-8, log=True)
+    assert h2.isconverged
+    r2 = np.asarray(A.mv(x2)) - b
+    assert np.linalg.norm(r2) / np.linalg.norm(b) < 1e-6

@@ -174,6 +174,71 @@ def bench_svdl():
     return dict(wall_s=t, iters=-1, converged=True)
 
 
+def bench_hessenberg():
+    """Givens-QR Hessenberg least squares vs generic lstsq, n-independent
+    small shapes m = 10..100 (~ benchmark/benchmark-hessenberg.jl:6-48)."""
+    import jax
+    import jax.numpy as jnp
+
+    import iterativesolvers_tpu as its
+
+    rng = np.random.default_rng(5)
+    detail = {}
+    for m in (10, 20, 40, 60, 80, 100):
+        H = np.triu(rng.standard_normal((m + 1, m)).astype(np.float32), -1)
+        H[:m, :] += 4.0 * np.eye(m, dtype=np.float32)  # well-conditioned R
+        rhs = rng.standard_normal((m + 1,)).astype(np.float32)
+        Hj, rj = jnp.asarray(H), jnp.asarray(rhs)
+        fast = jax.jit(its.hessenberg_lstsq)
+        t_fast, (y, _) = _timeit(lambda: fast(Hj, rj), reps=10)
+        lstsq = jax.jit(lambda A, b: jnp.linalg.lstsq(A, b)[0])
+        t_ref, y_ref = _timeit(lambda: lstsq(Hj, rj), reps=10)
+        err = float(jnp.linalg.norm(y - y_ref) / jnp.linalg.norm(y_ref))
+        detail[f"m{m}"] = dict(fast_us=round(1e6 * t_fast, 1),
+                               lstsq_us=round(1e6 * t_ref, 1),
+                               rel_err=round(err, 6))
+    return dict(wall_s=detail["m100"]["fast_us"] * 1e-6, iters=1,
+                converged=True, detail=detail)
+
+
+def bench_matrixmarket():
+    """Solve a MatrixMarket-loaded SPD system with CG and GMRES
+    (~ benchmark/matrixmarket.jl:1-32).  The reference downloads NIST/UF
+    matrices; with no network, ITS_MM_PATH can point at a local .mtx, else a
+    synthetic SPD matrix is round-tripped through the C++ parser."""
+    import jax.numpy as jnp
+
+    import iterativesolvers_tpu as its
+
+    path = os.environ.get("ITS_MM_PATH")
+    if path is None:
+        from iterativesolvers_tpu.utils.fixtures import laplace_matrix_coo
+
+        path = "/tmp/its_bench_laplace.mtx"
+        rows, cols, vals, n = laplace_matrix_coo(120, 2, dtype=np.float64)
+        with open(path, "w") as f:
+            f.write("%%MatrixMarket matrix coordinate real general\n")
+            f.write(f"{n} {n} {len(vals)}\n")
+            for r, c, v in zip(rows + 1, cols + 1, vals):
+                f.write(f"{r} {c} {v:.17g}\n")
+    A = its.load_matrix_market(path, dtype=np.float32)
+    n = A.shape[0]
+    b = jnp.ones((n,), jnp.float32)
+    detail = {}
+    for name, run in (
+        ("cg", lambda: its.cg(A, b, reltol=1e-6, maxiter=2000, log=True)),
+        ("gmres", lambda: its.gmres(A, b, restart=20, reltol=1e-6,
+                                    maxiter=800, log=True)),
+    ):
+        x, h = run()
+        t, _ = _timeit(lambda: run()[0])
+        r = float(jnp.linalg.norm(b - A.mv(x)) / jnp.linalg.norm(b))
+        detail[name] = dict(wall_s=round(t, 4), iters=h.iters, mvps=h.mvps,
+                            resid=round(r, 9), conv=h.isconverged)
+    return dict(wall_s=detail["cg"]["wall_s"], iters=detail["cg"]["iters"],
+                converged=detail["cg"]["conv"], detail=detail)
+
+
 ALL = {
     "cg_tridiag_1m": bench_cg_tridiag,
     "gmres_sprand_100k": bench_gmres_sprand,
@@ -183,6 +248,8 @@ ALL = {
     "lsqr_lsmr_200kx50k": bench_lsqr_lsmr,
     "lobpcg_laplace_10k": bench_lobpcg_laplace,
     "svdl_5kx3k": bench_svdl,
+    "hessenberg_ls": bench_hessenberg,
+    "matrixmarket": bench_matrixmarket,
 }
 
 

@@ -54,6 +54,8 @@ from .solvers.stationary import (
     ssor,
     ssor_iterable,
 )
+from .ops.givens import givens
+from .ops.hessenberg import hessenberg_lstsq
 from .ops.orthogonalize import ORTH_METHODS, orthogonalize_and_normalize
 from .ops.triangular import LevelScheduledTriangular
 from .utils.dtypes import zerox

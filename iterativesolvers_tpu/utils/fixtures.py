@@ -16,7 +16,13 @@ import numpy as np
 
 from ..operators.sparse import CSRMatrix, DIAMatrix
 
-__all__ = ["laplace_dia", "advection_diffusion", "random_sparse", "sym_tridiagonal_dia"]
+__all__ = [
+    "laplace_dia",
+    "laplace_matrix_coo",
+    "advection_diffusion",
+    "random_sparse",
+    "sym_tridiagonal_dia",
+]
 
 
 def laplace_dia(n: int, dims: int, dtype=np.float64) -> DIAMatrix:
@@ -43,6 +49,30 @@ def laplace_dia(n: int, dims: int, dtype=np.float64) -> DIAMatrix:
                 mask = pos > 0
             data[idx] = np.where(mask, -np.ones(N, dtype=dtype), 0)
     return DIAMatrix(data, offsets, (N, N))
+
+
+def laplace_matrix_coo(n: int, dims: int, dtype=np.float64):
+    """The same dims-D Laplacian as :func:`laplace_dia` in COO triplet form —
+    for exercising IO (MatrixMarket) and host-side format-conversion paths.
+    Returns ``(rows, cols, vals, N)`` with 0-based indices."""
+    A = laplace_dia(n, dims, dtype=dtype)
+    N = A.shape[0]
+    rows_l, cols_l, vals_l = [], [], []
+    i = np.arange(N)
+    for diag, off in zip(A.diags, A.offsets):
+        d = np.asarray(diag)
+        r = i[max(0, -off): N - max(0, off)]
+        c = r + off
+        v = d[r]
+        keep = v != 0
+        rows_l.append(r[keep])
+        cols_l.append(c[keep])
+        vals_l.append(v[keep])
+    rows = np.concatenate(rows_l)
+    cols = np.concatenate(cols_l)
+    vals = np.concatenate(vals_l)
+    order = np.lexsort((cols, rows))
+    return rows[order], cols[order], vals[order], N
 
 
 def sym_tridiagonal_dia(diag_val, off_val, n: int, dtype=np.float64) -> DIAMatrix:

@@ -32,6 +32,7 @@ like the reference (src/lobpcg.jl:928-961).
 
 from __future__ import annotations
 
+from functools import partial
 from typing import NamedTuple, Optional
 
 import jax
@@ -162,139 +163,142 @@ def _rayleigh_ritz(G, k, largest: bool, alive=None):
     return w[:k], C[:, :k]
 
 
-def _with_highest_precision(f):
-    """On TPU the default matmul precision is bfloat16 — fatal for
-    orthogonalization in f32.  Force full-precision MXU passes for all
-    matmuls traced inside the solver."""
-    def g(*args, **kwargs):
-        with jax.default_matmul_precision("highest"):
-            return f(*args, **kwargs)
+from .common import with_highest_precision as _with_highest_precision  # noqa: E402
 
-    return g
+
+def _bmv(opB, V):
+    return opB.mv(V) if opB is not None else V
+
+
+def _deflate(Y, BY, V):
+    return V - Y @ (BY.conj().T @ V) if Y is not None else V
+
+
+def _ritz_and_split(Sb, ASb, BSb, alive, k, largest):
+    """Rayleigh-Ritz on a B-orthonormal (possibly column-masked) basis;
+    return new (X, AX, BX) and the B-orthonormalized direction block
+    (P, AP, BP) from the W/P coefficients only (~ update_X_P!,
+    src/lobpcg.jl:629-690)."""
+    G = Sb.conj().T @ ASb
+    G = 0.5 * (G + G.conj().T)
+    lam, C = _rayleigh_ritz(G, k, largest, alive=alive)
+    X, AX, BX = Sb @ C, ASb @ C, BSb @ C
+    # restore exact unit B-norm (selected pairs can carry a tiny dead-
+    # coordinate weight in degenerate clusters)
+    xn = jnp.sqrt(jnp.maximum(jnp.real(jnp.sum(jnp.conj(X) * BX, axis=0)), 0.0))
+    s = jnp.where(xn > 0, 1.0 / jnp.where(xn > 0, xn, 1.0), 0.0)[None, :]
+    X, AX, BX = X * s, AX * s, BX * s
+    Cp = C[k:, :]
+    P = Sb[:, k:] @ Cp
+    AP = ASb[:, k:] @ Cp
+    BP = BSb[:, k:] @ Cp
+    P, BP, AP, _ = _orthonormalize_masked(P, BP, AP)
+    return X, AX, BX, P, AP, BP, lam
+
+
+def _make_w(opA, opB, prec, Y, BY, S, extra_proj=None):
+    R_blk = S.AX - S.BX * S.lam[None, :]
+    resn = jnp.linalg.norm(R_blk, axis=0)
+    W = prec.ldiv(R_blk)
+    W = _deflate(Y, BY, W)
+    W = W - S.X @ (S.BX.conj().T @ W)
+    if extra_proj is not None:
+        Pb, BPb = extra_proj
+        W = W - Pb @ (BPb.conj().T @ W)
+    BW = _bmv(opB, W)
+    W, BW, alive_w = _orthonormalize_masked(W, BW)
+    AW = opA.mv(W)
+    return W, AW, BW, alive_w, resn
+
+
+@partial(jax.jit, static_argnames=("largest", "maxiter"))
+@_with_highest_precision
+def _lobpcg_init(opA, opB, prec, Y, BY, X0, largest, maxiter):
+    k = X0.shape[1]
+    X = _deflate(Y, BY, X0)
+    BX = _bmv(opB, X)
+    X, BX, _ = _orthonormalize_masked(X, BX)
+    AX = opA.mv(X)
+    G = X.conj().T @ AX
+    G = 0.5 * (G + G.conj().T)
+    lam, C = _rayleigh_ritz(G, k, largest)
+    X, AX, BX = X @ C, AX @ C, BX @ C
+    rt = real_dtype(X.dtype)
+    return _LState(
+        X=X, AX=AX, BX=BX,
+        P=jnp.zeros_like(X), AP=jnp.zeros_like(X), BP=jnp.zeros_like(X),
+        lam=lam,
+        resnorms=jnp.full((k,), jnp.finfo(rt).max, rt),
+        it=jnp.zeros((), jnp.int32),
+        resnorm_log=jnp.zeros((max(maxiter, 1), k), rt),
+    )
+
+
+@partial(jax.jit, static_argnames=("largest",))
+@_with_highest_precision
+def _lobpcg_first(opA, opB, prec, Y, BY, S, largest):
+    # span{X, W} (src/lobpcg.jl:692-711)
+    k = S.X.shape[1]
+    W, AW, BW, alive_w, resn = _make_w(opA, opB, prec, Y, BY, S)
+    Sb = jnp.concatenate([S.X, W], axis=1)
+    ASb = jnp.concatenate([S.AX, AW], axis=1)
+    BSb = jnp.concatenate([S.BX, BW], axis=1)
+    alive = jnp.concatenate([jnp.ones((k,), bool), alive_w])
+    X, AX, BX, P, AP, BP, lam = _ritz_and_split(Sb, ASb, BSb, alive, k, largest)
+    return _LState(
+        X=X, AX=AX, BX=BX, P=P, AP=AP, BP=BP, lam=lam, resnorms=resn,
+        it=S.it + 1, resnorm_log=S.resnorm_log.at[S.it].set(resn),
+    )
+
+
+@_with_highest_precision
+def _lobpcg_main_step(opA, opB, prec, Y, BY, S, largest):
+    # span{X, W, P} (src/lobpcg.jl:712-749).  P from the previous Ritz
+    # step is B-orthonormal but not B-orthogonal to the new X (they mix
+    # through C), so re-orthogonalize P against X first — keeping the
+    # A/B images consistent under the same column transforms.
+    k = S.X.shape[1]
+    Cxp = S.BX.conj().T @ S.P
+    P = S.P - S.X @ Cxp
+    AP = S.AP - S.AX @ Cxp
+    BP = S.BP - S.BX @ Cxp
+    P, BP, AP, alive_p = _orthonormalize_masked(P, BP, AP)
+    W, AW, BW, alive_w, resn = _make_w(opA, opB, prec, Y, BY, S,
+                                       extra_proj=(P, BP))
+    Sb = jnp.concatenate([S.X, W, P], axis=1)
+    ASb = jnp.concatenate([S.AX, AW, AP], axis=1)
+    BSb = jnp.concatenate([S.BX, BW, BP], axis=1)
+    alive = jnp.concatenate([jnp.ones((k,), bool), alive_w, alive_p])
+    X, AX, BX, Pn, APn, BPn, lam = _ritz_and_split(Sb, ASb, BSb, alive, k, largest)
+    return _LState(
+        X=X, AX=AX, BX=BX, P=Pn, AP=APn, BP=BPn, lam=lam, resnorms=resn,
+        it=S.it + 1, resnorm_log=S.resnorm_log.at[S.it].set(resn),
+    )
+
+
+@partial(jax.jit, static_argnames=("largest", "maxiter"))
+def _lobpcg_main(opA, opB, prec, Y, BY, S, tol, largest, maxiter):
+    from .common import run_chunked
+
+    def cond(S):
+        return (S.it < maxiter) & jnp.any(S.resnorms > tol)
+
+    S = run_chunked(
+        lambda s: _lobpcg_main_step(opA, opB, prec, Y, BY, s, largest),
+        lambda s: ~cond(s),
+        S,
+        chunk=8,
+    )
+    R_blk = S.AX - S.BX * S.lam[None, :]
+    return S, jnp.linalg.norm(R_blk, axis=0)
 
 
 def _lobpcg_run(opA, opB, prec, X0, Y, BY, largest, tol, maxiter):
-    n, k = X0.shape
-    has_B = opB is not None
-    has_Y = Y is not None
-
-    def bmv(V):
-        return opB.mv(V) if has_B else V
-
-    def deflate(V):
-        return V - Y @ (BY.conj().T @ V) if has_Y else V
-
-    @jax.jit
-    @_with_highest_precision
-    def init(X0):
-        X = deflate(X0)
-        BX = bmv(X)
-        X, BX, _ = _orthonormalize_masked(X, BX)
-        AX = opA.mv(X)
-        G = X.conj().T @ AX
-        G = 0.5 * (G + G.conj().T)
-        lam, C = _rayleigh_ritz(G, k, largest)
-        X, AX, BX = X @ C, AX @ C, BX @ C
-        rt = real_dtype(X.dtype)
-        return _LState(
-            X=X, AX=AX, BX=BX,
-            P=jnp.zeros_like(X), AP=jnp.zeros_like(X), BP=jnp.zeros_like(X),
-            lam=lam,
-            resnorms=jnp.full((k,), jnp.finfo(rt).max, rt),
-            it=jnp.zeros((), jnp.int32),
-            resnorm_log=jnp.zeros((max(maxiter, 1), k), rt),
-        )
-
-    def ritz_and_split(Sb, ASb, BSb, alive):
-        """Rayleigh-Ritz on a B-orthonormal (possibly column-masked) basis;
-        return new (X, AX, BX) and the B-orthonormalized direction block
-        (P, AP, BP) from the W/P coefficients only (~ update_X_P!,
-        src/lobpcg.jl:629-690)."""
-        G = Sb.conj().T @ ASb
-        G = 0.5 * (G + G.conj().T)
-        lam, C = _rayleigh_ritz(G, k, largest, alive=alive)
-        X, AX, BX = Sb @ C, ASb @ C, BSb @ C
-        # restore exact unit B-norm (selected pairs can carry a tiny dead-
-        # coordinate weight in degenerate clusters)
-        xn = jnp.sqrt(jnp.maximum(jnp.real(jnp.sum(jnp.conj(X) * BX, axis=0)), 0.0))
-        s = jnp.where(xn > 0, 1.0 / jnp.where(xn > 0, xn, 1.0), 0.0)[None, :]
-        X, AX, BX = X * s, AX * s, BX * s
-        Cp = C[k:, :]
-        P = Sb[:, k:] @ Cp
-        AP = ASb[:, k:] @ Cp
-        BP = BSb[:, k:] @ Cp
-        P, BP, AP, _ = _orthonormalize_masked(P, BP, AP)
-        return X, AX, BX, P, AP, BP, lam
-
-    def make_w(S, extra_proj=None):
-        R_blk = S.AX - S.BX * S.lam[None, :]
-        resn = jnp.linalg.norm(R_blk, axis=0)
-        W = prec.ldiv(R_blk)
-        W = deflate(W)
-        W = W - S.X @ (S.BX.conj().T @ W)
-        if extra_proj is not None:
-            Pb, BPb = extra_proj
-            W = W - Pb @ (BPb.conj().T @ W)
-        BW = bmv(W)
-        W, BW, alive_w = _orthonormalize_masked(W, BW)
-        AW = opA.mv(W)
-        return W, AW, BW, alive_w, resn
-
-    ones_k = jnp.ones((k,), bool)
-
-    @jax.jit
-    @_with_highest_precision
-    def first_step(S: _LState):
-        # span{X, W} (src/lobpcg.jl:692-711)
-        W, AW, BW, alive_w, resn = make_w(S)
-        Sb = jnp.concatenate([S.X, W], axis=1)
-        ASb = jnp.concatenate([S.AX, AW], axis=1)
-        BSb = jnp.concatenate([S.BX, BW], axis=1)
-        alive = jnp.concatenate([ones_k, alive_w])
-        X, AX, BX, P, AP, BP, lam = ritz_and_split(Sb, ASb, BSb, alive)
-        return _LState(
-            X=X, AX=AX, BX=BX, P=P, AP=AP, BP=BP, lam=lam, resnorms=resn,
-            it=S.it + 1, resnorm_log=S.resnorm_log.at[S.it].set(resn),
-        )
-
-    @_with_highest_precision
-    def main_step(S: _LState):
-        # span{X, W, P} (src/lobpcg.jl:712-749).  P from the previous Ritz
-        # step is B-orthonormal but not B-orthogonal to the new X (they mix
-        # through C), so re-orthogonalize P against X first — keeping the
-        # A/B images consistent under the same column transforms.
-        Cxp = S.BX.conj().T @ S.P
-        P = S.P - S.X @ Cxp
-        AP = S.AP - S.AX @ Cxp
-        BP = S.BP - S.BX @ Cxp
-        P, BP, AP, alive_p = _orthonormalize_masked(P, BP, AP)
-        W, AW, BW, alive_w, resn = make_w(S, extra_proj=(P, BP))
-        Sb = jnp.concatenate([S.X, W, P], axis=1)
-        ASb = jnp.concatenate([S.AX, AW, AP], axis=1)
-        BSb = jnp.concatenate([S.BX, BW, BP], axis=1)
-        alive = jnp.concatenate([ones_k, alive_w, alive_p])
-        X, AX, BX, Pn, APn, BPn, lam = ritz_and_split(Sb, ASb, BSb, alive)
-        return _LState(
-            X=X, AX=AX, BX=BX, P=Pn, AP=APn, BP=BPn, lam=lam, resnorms=resn,
-            it=S.it + 1, resnorm_log=S.resnorm_log.at[S.it].set(resn),
-        )
-
-    @jax.jit
-    def run_main(S):
-        def cond(S):
-            return (S.it < maxiter) & jnp.any(S.resnorms > tol)
-
-        from .common import run_chunked
-
-        S = run_chunked(main_step, lambda s: ~cond(s), S, chunk=4)
-        R_blk = S.AX - S.BX * S.lam[None, :]
-        return S, jnp.linalg.norm(R_blk, axis=0)
-
-    S = init(X0)
+    S = _lobpcg_init(opA, opB, prec, Y, BY, X0, largest, maxiter)
     if maxiter >= 1:
-        S = first_step(S)
+        S = _lobpcg_first(opA, opB, prec, Y, BY, S, largest)
     if maxiter >= 2 and bool(jnp.any(S.resnorms > tol)):
-        S, final_resn = run_main(S)
+        S, final_resn = _lobpcg_main(opA, opB, prec, Y, BY, S, tol, largest, maxiter)
     else:
         R_blk = S.AX - S.BX * S.lam[None, :]
         final_resn = jnp.linalg.norm(R_blk, axis=0)

@@ -32,14 +32,16 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..operators.linear_operator import LinearOperator
-from ..operators.sparse import DIAMatrix
+from ..operators.sparse import DIAMatrix, ELLMatrix
 
 __all__ = [
     "row_mesh",
     "shard_vector",
     "shard_dia",
+    "shard_ell",
     "replicate",
     "HaloDIAOperator",
+    "RowShardedELLOperator",
 ]
 
 ROW_AXIS = "rows"
@@ -71,6 +73,21 @@ def shard_dia(A: DIAMatrix, mesh: Mesh) -> DIAMatrix:
     sh = NamedSharding(mesh, P(ROW_AXIS))
     diags = tuple(jax.device_put(d, sh) for d in A.diags)
     return DIAMatrix(diags, A.offsets, A.shape)
+
+
+def shard_ell(A: ELLMatrix, mesh: Mesh) -> ELLMatrix:
+    """Row-shard an ELL operator under GSPMD: the (n, w) data/cols panels are
+    row-sharded, and XLA materializes the x gather as an all-gather of the
+    (sharded) input vector.  For guaranteed collective placement on the hot
+    path use :class:`RowShardedELLOperator` instead."""
+    sh = NamedSharding(mesh, P(ROW_AXIS, None))
+    adj = shard_ell(A.adj, mesh) if A.adj is not None else None
+    return ELLMatrix(
+        jax.device_put(A.data, sh),
+        jax.device_put(A.cols, sh),
+        A.shape,
+        adj=adj,
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -212,4 +229,111 @@ class HaloDIAOperator(LinearOperator):
         obj = object.__new__(cls)
         (obj.diags,) = leaves
         obj.mesh, obj.halo, obj.n_local, obj.offsets, obj._shape = aux
+        return obj
+
+
+# ---------------------------------------------------------------------------
+# General-sparsity row partition: all-gather x, local ELL gather
+# ---------------------------------------------------------------------------
+
+
+@jax.tree_util.register_pytree_node_class
+class RowShardedELLOperator(LinearOperator):
+    """Row-partitioned SpMV for **unstructured** sparsity with explicit
+    collectives under ``shard_map``.
+
+    Unlike a stencil (:class:`HaloDIAOperator`), an arbitrary-sparsity row
+    block may read *any* entry of x, so the communication primitive is an
+    ``all_gather`` of the row-sharded x over ICI (a bandwidth-optimal ring),
+    followed by the purely local ELL gather/multiply.  The adjoint matvec
+    runs the same kernel on a precomputed row-sharded ELL of A^H
+    (``ELLMatrix.with_adjoint``); without it, each device segment-sums its
+    rows' contributions to the full output and a ``psum_scatter`` reduces
+    and re-shards — one reduce-scatter ring instead of a gather.
+
+    Per SpMV: (D-1)/D · n·8 bytes over ICI + local streaming of the
+    (n/D, w) panels — communication stays off HBM-critical paths and scales
+    with the ICI ring bandwidth.
+    """
+
+    def __init__(self, ell: ELLMatrix, mesh: Mesh):
+        n, m = ell.shape
+        D = mesh.shape[ROW_AXIS]
+        if n % D != 0 or m % D != 0:
+            raise ValueError(
+                f"shape {ell.shape} must divide evenly over {D} devices"
+            )
+        self.mesh = mesh
+        self._shape = ell.shape
+        sh = NamedSharding(mesh, P(ROW_AXIS, None))
+        self.data = jax.device_put(ell.data, sh)
+        self.cols = jax.device_put(ell.cols, sh)
+        if ell.adj is not None:
+            self.adj_data = jax.device_put(ell.adj.data, sh)
+            self.adj_cols = jax.device_put(ell.adj.cols, sh)
+        else:
+            self.adj_data = self.adj_cols = None
+
+    @property
+    def shape(self):
+        return self._shape
+
+    @property
+    def dtype(self):
+        return self.data.dtype
+
+    @staticmethod
+    def _local_mv(data, cols, x_loc):
+        xg = jax.lax.all_gather(x_loc, ROW_AXIS, tiled=True)
+        g = xg[cols]  # (n_local, w) or (n_local, w, k)
+        d = data if g.ndim == 2 else data[..., None]
+        return jnp.sum(d * g, axis=1)
+
+    def _vec_spec(self, x):
+        return P(ROW_AXIS) if x.ndim == 1 else P(ROW_AXIS, None)
+
+    def mv(self, x):
+        return jax.shard_map(
+            self._local_mv,
+            mesh=self.mesh,
+            in_specs=(P(ROW_AXIS, None), P(ROW_AXIS, None), self._vec_spec(x)),
+            out_specs=self._vec_spec(x),
+        )(self.data, self.cols, x)
+
+    def rmv(self, x):
+        if self.adj_data is not None:
+            return jax.shard_map(
+                self._local_mv,
+                mesh=self.mesh,
+                in_specs=(P(ROW_AXIS, None), P(ROW_AXIS, None), self._vec_spec(x)),
+                out_specs=self._vec_spec(x),
+            )(self.adj_data, self.adj_cols, x)
+
+        m = self._shape[1]
+
+        def local_rmv(data, cols, x_loc):
+            # partial contributions of this device's rows to the FULL output
+            d = jnp.conj(data) if x_loc.ndim == 1 else jnp.conj(data)[..., None]
+            vals = d * x_loc[:, None]
+            flat = vals.reshape((-1,) + vals.shape[2:])
+            full = jax.ops.segment_sum(flat, cols.ravel(), num_segments=m)
+            # reduce across devices and keep this device's row block
+            return jax.lax.psum_scatter(full, ROW_AXIS, tiled=True)
+
+        return jax.shard_map(
+            local_rmv,
+            mesh=self.mesh,
+            in_specs=(P(ROW_AXIS, None), P(ROW_AXIS, None), self._vec_spec(x)),
+            out_specs=self._vec_spec(x),
+        )(self.data, self.cols, x)
+
+    def tree_flatten(self):
+        leaves = (self.data, self.cols, self.adj_data, self.adj_cols)
+        return leaves, (self.mesh, self._shape)
+
+    @classmethod
+    def tree_unflatten(cls, aux, leaves):
+        obj = object.__new__(cls)
+        obj.data, obj.cols, obj.adj_data, obj.adj_cols = leaves
+        obj.mesh, obj._shape = aux
         return obj

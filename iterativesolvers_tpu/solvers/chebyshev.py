@@ -18,6 +18,11 @@ first step).  We implement the standard Templates/Saad recurrence
 
 which satisfies the same contract (|r_k| <= max(reltol |r_0|, abstol)) at the
 textbook rate.  Left preconditioning only, like the reference.
+
+Also fixed consciously (SURVEY §2.3): the reference reserves/pushes its
+residual history even when ``log=false`` (src/chebyshev.jl:152,159-163 has no
+``log &&`` guard) — here history materializes only when ``log=True``, matching
+every other solver's contract.
 """
 
 from __future__ import annotations

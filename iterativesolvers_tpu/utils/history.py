@@ -112,3 +112,18 @@ class ConvergenceHistory:
             rows.append(f"1e{level:+06.1f} {''.join(line)}")
         rows.append(" " * 8 + f"iterations 0..{y.size - 1}  [{key}]")
         return "\n".join(rows)
+
+    def plot_all(self, width: int = 60, height: int = 8) -> str:
+        """One stacked panel per plottable series — the analogue of the
+        reference's whole-history recipe (one subplot per key,
+        src/history.jl:269-300).  Scalars and non-numeric entries are
+        skipped, like ``plotable`` (src/history.jl:264-265)."""
+        panels = []
+        for key in sorted(self.data.keys()):
+            val = np.asarray(self.data[key])
+            if val.ndim != 1 or val.size < 2 or not np.issubdtype(
+                val.dtype, np.number
+            ):
+                continue
+            panels.append(self.plot(key, width=width, height=height))
+        return ("\n" + "-" * (width + 9) + "\n").join(panels) or "(no series)"

@@ -58,3 +58,17 @@ def test_solver_history_end_to_end(rng):
     x2, h2 = its.gmres(A, b, restart=15, reltol=1e-8, log=True)
     assert h2.restart == 15
     assert h2.nrests() >= 1
+
+
+def test_plot_all_multiseries():
+    h = ConvergenceHistory()
+    h.set_series("resnorm", np.geomspace(1.0, 1e-6, 30), 30)
+    h.set_series("anorm", np.linspace(1.0, 2.0, 30), 30)
+    h["tol"] = 1e-8          # scalar: skipped like the reference's plotable
+    out = h.plot_all()
+    assert "resnorm" in out and "anorm" in out
+    assert "tol" not in out
+
+
+def test_plot_all_empty():
+    assert ConvergenceHistory().plot_all() == "(no series)"

@@ -57,8 +57,10 @@ def bench_gmres_sprand():
     from iterativesolvers_tpu.utils.fixtures import random_sparse
 
     n = 100_000
+    # HYB instead of ELL: the symmetrized sprand degrees are skewed (mean 11,
+    # max 30), so plain ELL gathers 2.7x nnz; HYB spills heavy rows to a tail
     A = random_sparse(n, n, 5.0 / n, seed=1, dtype=np.float32,
-                      symmetrize=True, shift=1.0).to_ell()
+                      symmetrize=True, shift=1.0).to_hyb()
     b = jnp.ones((n,), jnp.float32)
     x, h = its.gmres(A, b, restart=15, reltol=1e-5, maxiter=210, log=True)
     t, _ = _timeit(lambda: its.gmres(A, b, restart=15, reltol=1e-5, maxiter=210))
@@ -134,7 +136,7 @@ def bench_lsqr_lsmr():
     from iterativesolvers_tpu.utils.fixtures import random_sparse
 
     m, n = 200_000, 50_000
-    A = random_sparse(m, n, 10.0 / n, seed=3, dtype=np.float32).to_ell().with_adjoint()
+    A = random_sparse(m, n, 10.0 / n, seed=3, dtype=np.float32).to_hyb().with_adjoint()
     b = jnp.ones((m,), jnp.float32)
     detail = {}
     for name, fn in (("lsqr", its.lsqr), ("lsmr", its.lsmr)):
@@ -166,6 +168,8 @@ def bench_svdl():
     import iterativesolvers_tpu as its
     from iterativesolvers_tpu.utils.fixtures import random_sparse
 
+    # ELL, not HYB: at 150k nnz with near-uniform degrees the tail
+    # segment-sum overhead outweighs the padding saved (measured 2.5 vs 2.7 s)
     A = random_sparse(5000, 3000, 0.01, seed=4, dtype=np.float32).to_ell().with_adjoint()
     vals, L = its.svdl(A, nsv=6, tol=1e-3, maxiter=60)
     t0 = time.perf_counter()

@@ -27,6 +27,7 @@ from .operators.sparse import (
     CSRMatrix,
     DIAMatrix,
     ELLMatrix,
+    HYBMatrix,
     csr_from_dense,
     dia_from_dense,
 )

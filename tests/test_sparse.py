@@ -1,8 +1,11 @@
 """Sparse format kernels: mv/rmv vs dense ground truth (~ test/stationary.jl's
 kernel-level unit tests, SURVEY §4.7)."""
 
+import jax.numpy as jnp
 import numpy as np
 import pytest
+
+import iterativesolvers_tpu as its
 
 from iterativesolvers_tpu import CSRMatrix, csr_from_dense
 from iterativesolvers_tpu.utils.fixtures import (
@@ -160,3 +163,56 @@ def test_ell_with_adjoint(rng):
     )
     # idempotent
     assert ell.with_adjoint() is ell
+
+
+def test_hyb_mv_rmv_matches_dense(rng):
+    from iterativesolvers_tpu.operators.sparse import csr_from_dense
+
+    # skewed degrees: a few dense rows on a sparse background
+    M = rng.random((60, 40))
+    M[np.abs(M) < 0.8] = 0
+    M[3, :] = rng.random(40)  # heavy row
+    M[17, :30] = rng.random(30)
+    hyb = csr_from_dense(M).to_hyb()
+    assert hyb.tail_nnz > 0
+    assert hyb.ell.row_width < int((M != 0).sum(axis=1).max())
+    x = rng.random(40)
+    y = rng.random(60)
+    np.testing.assert_allclose(np.asarray(hyb.mv(jnp.asarray(x))), M @ x, rtol=1e-10)
+    np.testing.assert_allclose(np.asarray(hyb.rmv(jnp.asarray(y))), M.T @ y, rtol=1e-10)
+    # precomputed-adjoint path
+    hyb2 = hyb.with_adjoint()
+    np.testing.assert_allclose(np.asarray(hyb2.rmv(jnp.asarray(y))), M.T @ y, rtol=1e-10)
+    assert hyb2.with_adjoint() is hyb2
+
+
+def test_hyb_block_input_and_roundtrip(rng):
+    from iterativesolvers_tpu.operators.sparse import csr_from_dense
+
+    M = rng.random((32, 32))
+    M[np.abs(M) < 0.7] = 0
+    M[5, :] = rng.random(32)
+    hyb = csr_from_dense(M).to_hyb()
+    X = rng.random((32, 3))
+    np.testing.assert_allclose(np.asarray(hyb.mv(jnp.asarray(X))), M @ X, rtol=1e-10)
+    np.testing.assert_allclose(np.asarray(hyb.to_dense()), M, rtol=1e-12)
+    np.testing.assert_allclose(
+        np.asarray(hyb.to_csr().to_dense()), M, rtol=1e-12
+    )
+
+
+def test_hyb_empty_tail_and_solver(rng):
+    from iterativesolvers_tpu.operators.sparse import csr_from_dense
+
+    n = 48
+    M = rng.random((n, n))
+    M[np.abs(M) < 0.5] = 0
+    M = M @ M.T + n * np.eye(n)  # SPD, fairly uniform degrees
+    hyb = csr_from_dense(M).to_hyb(row_width=n)  # forced: no tail
+    assert hyb.tail_nnz == 0
+    b = rng.random(n)
+    x = np.asarray(its.cg(hyb, b, reltol=1e-10))
+    assert np.linalg.norm(M @ x - b) / np.linalg.norm(b) < 1e-8
+    # auto width inside a solver too
+    x2 = np.asarray(its.gmres(csr_from_dense(M).to_hyb(), b, reltol=1e-10, restart=30))
+    assert np.linalg.norm(M @ x2 - b) / np.linalg.norm(b) < 1e-7

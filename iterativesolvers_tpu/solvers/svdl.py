@@ -112,10 +112,8 @@ def _build(op, v0, op_k: int):
     return PartialFactorization(P, Q, B, beta)
 
 
-@partial(jax.jit, static_argnames=("op_l", "op_k", "dolock"))
-@with_highest_precision
-def _restart_and_extend(op, L: PartialFactorization, U, s, V, conv_mask,
-                        op_l: int, op_k: int, dolock: bool):
+def _restart_core(op, L: PartialFactorization, U, s, V, conv_mask,
+                  op_l: int, op_k: int, dolock: bool):
     """Thick restart to l columns then extend back to k
     (~ thickrestart! + extend!, src/svdl.jl:376-405,542-609)."""
     l, k = op_l, op_k
@@ -144,10 +142,8 @@ def _restart_and_extend(op, L: PartialFactorization, U, s, V, conv_mask,
     return PartialFactorization(Pn, Qn, Bn, beta)
 
 
-@partial(jax.jit, static_argnames=("op_l", "op_k"))
-@with_highest_precision
-def _harmonic_restart_and_extend(op, L: PartialFactorization, U0, s, V0,
-                                 op_l: int, op_k: int):
+def _harmonic_restart_core(op, L: PartialFactorization, U0, s, V0,
+                           op_l: int, op_k: int):
     """Thick restart with harmonic Ritz values, then extend back to k
     (~ harmonicrestart!, src/svdl.jl:424-494; Baglama & Reichel 2005).
 
@@ -218,9 +214,7 @@ def _harmonic_restart_and_extend(op, L: PartialFactorization, U0, s, V0,
     return PartialFactorization(P, Q, B, beta_out)
 
 
-@jax.jit
-@with_highest_precision
-def _ritz_and_bounds(L: PartialFactorization):
+def _ritz_and_bounds_core(L: PartialFactorization):
     """SVD of the projected matrix + error bounds (~ isconverged,
     src/svdl.jl:290-350).  Returns (U, s, V, dsig, delta)."""
     Bsq = L.B[:, : L.B.shape[0]]
@@ -235,6 +229,88 @@ def _ritz_and_bounds(L: PartialFactorization):
     refined = jnp.minimum(dsig, dsig**2 / gap)
     delta = jnp.where(2 * dsig <= gap, refined, dsig)
     return U, s, V, dsig, delta
+
+
+_ritz_and_bounds = jax.jit(with_highest_precision(_ritz_and_bounds_core))
+
+
+class _SvdlState(NamedTuple):
+    L: PartialFactorization
+    U: jax.Array          # (k, k) left singular vecs of the projected matrix
+    s: jax.Array          # (k,)
+    V: jax.Array          # (k, k)
+    conv: jax.Array       # (k,) per-value convergence at the last check
+    converged: jax.Array  # bool scalar: leading nsv all converged
+    it: jax.Array         # int32 macro-iterations completed
+    ritz_log: jax.Array   # (maxiter, k)
+    res_log: jax.Array    # (maxiter, k)
+    beta_log: jax.Array   # (maxiter,)
+    conv_log: jax.Array   # (maxiter,) bool
+    B_log: jax.Array      # (maxiter, k, k+1) when log else (1, 1, 1) dummy
+
+
+def _tree_select(pred, a, b):
+    return jax.tree_util.tree_map(
+        lambda x, y: jax.lax.select(jnp.broadcast_to(pred, y.shape), x, y), a, b
+    )
+
+
+@partial(jax.jit, static_argnames=("nsv", "op_j", "op_k", "dolock", "method",
+                                   "maxiter", "log"))
+@with_highest_precision
+def _svdl_run(op, L0, tol, reltol, nsv: int, op_j: int, op_k: int,
+              dolock: bool, method: str, maxiter: int, log: bool):
+    """The whole restart loop as one device program (~ the reference's host
+    loop src/svdl.jl:188-226, fused so the O(maxiter) jit dispatches and
+    convergence-check syncs collapse into one while_loop)."""
+    from .common import run_chunked
+
+    j, k = op_j, op_k
+    rt = real_dtype(L0.P.dtype)
+    mi = max(maxiter, 1)
+
+    def step(S: _SvdlState) -> _SvdlState:
+        U, s, V, dsig, delta = _ritz_and_bounds_core(S.L)
+        thresh = jnp.maximum(tol, reltol * s[0])
+        conv = delta < thresh
+        all_conv = jnp.all(conv[:nsv])
+        ritz_log = S.ritz_log.at[S.it].set(s)
+        res_log = S.res_log.at[S.it].set(delta)
+        beta_log = S.beta_log.at[S.it].set(jnp.abs(S.L.beta).astype(rt))
+        conv_log = S.conv_log.at[S.it].set(all_conv)
+        B_log = S.B_log.at[S.it].set(S.L.B) if log else S.B_log
+        if method == "harmonic":
+            L_new = _harmonic_restart_core(op, S.L, U, s, V, j, k)
+        else:
+            L_new = _restart_core(op, S.L, U, s, V, conv, j, k, dolock)
+        # on the converging iteration the reference breaks before restarting
+        L_out = _tree_select(all_conv, S.L, L_new)
+        return _SvdlState(
+            L=L_out, U=U, s=s, V=V, conv=conv, converged=all_conv,
+            it=S.it + 1, ritz_log=ritz_log, res_log=res_log,
+            beta_log=beta_log, conv_log=conv_log, B_log=B_log,
+        )
+
+    def done(S: _SvdlState):
+        return S.converged | (S.it >= maxiter)
+
+    k_ = L0.B.shape[0]
+    S0 = _SvdlState(
+        L=L0,
+        U=jnp.zeros((k_, k_), L0.P.dtype),
+        s=jnp.zeros((k_,), rt),
+        V=jnp.zeros((k_, k_), L0.P.dtype),
+        conv=jnp.zeros((k_,), bool),
+        converged=jnp.zeros((), bool),
+        it=jnp.zeros((), jnp.int32),
+        ritz_log=jnp.zeros((mi, k_), rt),
+        res_log=jnp.zeros((mi, k_), rt),
+        beta_log=jnp.zeros((mi,), rt),
+        conv_log=jnp.zeros((mi,), bool),
+        B_log=jnp.zeros((mi, k_, k_ + 1), L0.B.dtype) if log
+        else jnp.zeros((1, 1, 1), L0.B.dtype),
+    )
+    return run_chunked(step, done, S0, chunk=4)
 
 
 def svdl(
@@ -296,44 +372,28 @@ def svdl(
     v0 = jnp.asarray(v0)
 
     L = _build(op, v0, k)
-
-    history = ConvergenceHistory(partial=not log) if log else None
-    ritz_hist, res_hist, beta_hist, conv_hist, B_hist = [], [], [], [], []
-
-    iters = 0
-    converged = False
-    U = s = V = None
-    for it in range(maxiter):
-        iters = it + 1
-        U, s, V, dsig, delta = _ritz_and_bounds(L)
-        thresh = max(tol, reltol * float(s[0]))
-        conv = np.asarray(delta) < thresh
-        ritz_hist.append(np.asarray(s))
-        res_hist.append(np.asarray(delta))
-        beta_hist.append(float(jnp.abs(L.beta)))
-        conv_hist.append(bool(conv[:l].all()))
-        if log:
-            B_hist.append(np.asarray(L.B))  # ~ push!(log, :Bs, ...) src/svdl.jl:212
-        if conv[:l].all():
-            converged = True
-            break
-        if method == "harmonic":
-            L = _harmonic_restart_and_extend(op, L, U, s, V, j, k)
-        else:
-            L = _restart_and_extend(
-                op, L, U, s, V, jnp.asarray(conv), j, k, dolock
-            )
+    rt_ = real_dtype(op.dtype)
+    S = _svdl_run(
+        op, L,
+        jnp.asarray(tol, rt_), jnp.asarray(reltol, rt_),
+        l, j, k, dolock, method, maxiter, log,
+    )
+    L, U, s, V = S.L, S.U, S.s, S.V
+    iters = int(S.it)
+    converged = bool(S.converged)
 
     values = s[:l]
-    if history is not None:
+    history = None
+    if log:
+        history = ConvergenceHistory(partial=not log)
         history.iters = iters
         history.isconverged = converged
         history["tol"] = tol
-        history.data["ritz"] = np.stack(ritz_hist)
-        history.data["resnorm"] = np.stack(res_hist)
-        history.data["betas"] = np.asarray(beta_hist)
-        history.data["conv"] = np.asarray(conv_hist)
-        history.data["Bs"] = np.stack(B_hist)
+        history.data["ritz"] = np.asarray(S.ritz_log)[:iters]
+        history.data["resnorm"] = np.asarray(S.res_log)[:iters]
+        history.data["betas"] = np.asarray(S.beta_log)[:iters]
+        history.data["conv"] = np.asarray(S.conv_log)[:iters]
+        history.data["Bs"] = np.asarray(S.B_log)[:iters]  # ~ push!(log, :Bs) src/svdl.jl:212
         history.mvps = iters * (k - j) + k
         history.mtvps = iters * (k - j) + k
 

@@ -27,7 +27,7 @@ import jax
 import jax.numpy as jnp
 
 from ..operators.linear_operator import as_operator
-from ..operators.preconditioners import as_preconditioner, is_identity
+from ..operators.preconditioners import as_preconditioner
 from ..utils.dtypes import real_dtype, solve_dtype
 from .common import SolveResult, SolverIterator, make_history, norm, resolve_tols, tolerance, vdot, run_chunked
 

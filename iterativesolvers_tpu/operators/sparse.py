@@ -28,6 +28,19 @@ import numpy as np
 
 from .linear_operator import LinearOperator
 
+
+def _keep_host(x, dtype=None):
+    """Retain a host-side numpy copy when the input is already on the host.
+
+    Conversion/structure methods (to_ell/to_hyb/to_dia/diagonal/...) run in
+    numpy.  On the remote-attached TPU backend a device->host readback is
+    pathologically slow (minutes for MBs), so formats cache the numpy arrays
+    they were constructed from and conversions prefer them; ``None`` means
+    the data only exists on device and will be read back on demand."""
+    if isinstance(x, jax.Array):
+        return None
+    return np.asarray(x, dtype=dtype) if dtype is not None else np.asarray(x)
+
 __all__ = [
     "CSRMatrix",
     "ELLMatrix",
@@ -45,6 +58,9 @@ class CSRMatrix(LinearOperator):
     SpMV is a sorted segment-sum, with no indptr expansion inside jit."""
 
     def __init__(self, data, indices, indptr, shape, row_ids=None):
+        self._h_data = _keep_host(data)
+        self._h_indices = _keep_host(indices, np.int32)
+        self._h_indptr = _keep_host(indptr, np.int64)
         self.data = jnp.asarray(data)
         self.indices = jnp.asarray(indices, dtype=jnp.int32)
         self.indptr = jnp.asarray(indptr, dtype=jnp.int32)
@@ -52,7 +68,12 @@ class CSRMatrix(LinearOperator):
         if row_ids is None:
             counts = np.diff(np.asarray(indptr).astype(np.int64))
             row_ids = np.repeat(np.arange(self._shape[0], dtype=np.int32), counts)
+        self._h_row_ids = _keep_host(row_ids, np.int32)
         self.row_ids = jnp.asarray(row_ids, dtype=jnp.int32)
+
+    def _host(self, name):
+        h = getattr(self, "_h_" + name)
+        return h if h is not None else np.asarray(getattr(self, name))
 
     # -- construction --------------------------------------------------------
     @classmethod
@@ -113,13 +134,13 @@ class CSRMatrix(LinearOperator):
         return out.at[self.row_ids, self.indices].add(self.data)
 
     def to_ell(self, row_width: int | None = None) -> "ELLMatrix":
-        indptr = np.asarray(self.indptr)
+        indptr = self._host("indptr")
         counts = np.diff(indptr)
         k = int(counts.max()) if row_width is None else int(row_width)
         k = max(k, 1)
         n = self._shape[0]
-        host_data = np.asarray(self.data)
-        host_idx = np.asarray(self.indices)
+        host_data = self._host("data")
+        host_idx = self._host("indices")
         if not np.iscomplexobj(host_data):
             from ..native import csr_to_ell
 
@@ -143,8 +164,8 @@ class CSRMatrix(LinearOperator):
         gathered ELL elements cost 1, tail elements cost ``tail_cost``
         (gather + sorted scatter-add).
         """
-        indptr = np.asarray(self.indptr)
-        counts = np.diff(indptr).astype(np.int64)
+        indptr = self._host("indptr").astype(np.int64)
+        counts = np.diff(indptr)
         n = self._shape[0]
         if row_width is None:
             cands = np.unique(np.concatenate([[1], counts[counts > 0]]))
@@ -158,29 +179,22 @@ class CSRMatrix(LinearOperator):
             row_width = best_w
         w = max(int(row_width), 1)
         ell = self.to_ell(row_width=w)  # keeps the first w entries per row
-        data = np.asarray(self.data)
-        idx = np.asarray(self.indices)
-        tr, tc, tv = [], [], []
-        over = np.nonzero(counts > w)[0]
-        for i in over:
-            lo, hi = int(indptr[i]) + w, int(indptr[i + 1])
-            tr.append(np.full(hi - lo, i, dtype=np.int32))
-            tc.append(idx[lo:hi])
-            tv.append(data[lo:hi])
-        if tr:
-            tail_rows = np.concatenate(tr)
-            tail_cols = np.concatenate(tc)
-            tail_vals = np.concatenate(tv)
-        else:
-            tail_rows = np.zeros(0, np.int32)
-            tail_cols = np.zeros(0, np.int32)
-            tail_vals = np.zeros(0, data.dtype)
+        data = self._host("data")
+        idx = self._host("indices")
+        # vectorized tail extraction: an nnz entry is tail iff its within-row
+        # position >= w (CSR order makes positions a range per row)
+        row_ids = self._host("row_ids")
+        pos = np.arange(row_ids.size, dtype=np.int64) - indptr[row_ids]
+        tail = pos >= w
+        tail_rows = row_ids[tail].astype(np.int32)
+        tail_cols = idx[tail].astype(np.int32)
+        tail_vals = data[tail]
         return HYBMatrix(ell, tail_rows, tail_cols, tail_vals, self._shape)
 
     def to_dia(self) -> "DIAMatrix":
-        rows = np.asarray(self.row_ids, dtype=np.int64)
-        cols = np.asarray(self.indices, dtype=np.int64)
-        vals = np.asarray(self.data)
+        rows = self._host("row_ids").astype(np.int64)
+        cols = self._host("indices").astype(np.int64)
+        vals = self._host("data")
         offsets = np.unique(cols - rows)
         n = self._shape[0]
         data = np.zeros((offsets.size, n), dtype=vals.dtype)
@@ -193,12 +207,13 @@ class CSRMatrix(LinearOperator):
         """Main diagonal as a dense vector (raises if a diagonal entry is
         structurally absent — mirrors DiagonalIndices' SingularException check,
         src/stationary_sparse.jl:18-20, checked at the call site)."""
-        rows = np.asarray(self.row_ids)
-        cols = np.asarray(self.indices)
+        rows = self._host("row_ids")
+        cols = self._host("indices")
+        vals = self._host("data")
         mask = rows == cols
-        d = np.zeros(min(self._shape), dtype=np.asarray(self.data).dtype)
+        d = np.zeros(min(self._shape), dtype=vals.dtype)
         present = np.zeros(min(self._shape), dtype=bool)
-        d[rows[mask]] = np.asarray(self.data)[mask]
+        d[rows[mask]] = vals[mask]
         present[rows[mask]] = True
         return d, present
 
@@ -210,6 +225,7 @@ class CSRMatrix(LinearOperator):
         data, indices, indptr, row_ids = leaves
         obj = object.__new__(cls)
         obj.data, obj.indices, obj.indptr, obj.row_ids = data, indices, indptr, row_ids
+        obj._h_data = obj._h_indices = obj._h_indptr = obj._h_row_ids = None
         obj._shape = aux
         return obj
 
@@ -225,19 +241,25 @@ class ELLMatrix(LinearOperator):
     the adjoint matvec is the same fast gather kernel (2x storage)."""
 
     def __init__(self, data, cols, shape, adj: "ELLMatrix | None" = None):
+        self._h_data = _keep_host(data)
+        self._h_cols = _keep_host(cols, np.int32)
         self.data = jnp.asarray(data)
         self.cols = jnp.asarray(cols, dtype=jnp.int32)
         self._shape = (int(shape[0]), int(shape[1]))
         self.adj = adj
+
+    def _host(self, name):
+        h = getattr(self, "_h_" + name)
+        return h if h is not None else np.asarray(getattr(self, name))
 
     def with_adjoint(self) -> "ELLMatrix":
         """Return a copy carrying a precomputed ELL-form adjoint."""
         if self.adj is not None:
             return self
         csr = self.to_csr()
-        rows = np.asarray(csr.row_ids)
-        cols = np.asarray(csr.indices)
-        vals = np.conj(np.asarray(csr.data))
+        rows = csr._host("row_ids")
+        cols = csr._host("indices")
+        vals = np.conj(csr._host("data"))
         n, m = self._shape
         adj = CSRMatrix.from_coo(cols, rows, vals, (m, n)).to_ell()
         return ELLMatrix(self.data, self.cols, self._shape, adj=adj)
@@ -278,8 +300,8 @@ class ELLMatrix(LinearOperator):
         return out.at[rows, self.cols].add(self.data)
 
     def to_csr(self) -> "CSRMatrix":
-        data = np.asarray(self.data)
-        cols = np.asarray(self.cols)
+        data = self._host("data")
+        cols = self._host("cols")
         n = self._shape[0]
         rows = np.broadcast_to(np.arange(n)[:, None], cols.shape)
         mask = data != 0
@@ -292,6 +314,7 @@ class ELLMatrix(LinearOperator):
     def tree_unflatten(cls, aux, leaves):
         obj = object.__new__(cls)
         obj.data, obj.cols, obj.adj = leaves
+        obj._h_data = obj._h_cols = None
         obj._shape = aux
         return obj
 
@@ -314,11 +337,18 @@ class HYBMatrix(LinearOperator):
     def __init__(self, ell: ELLMatrix, tail_rows, tail_cols, tail_vals,
                  shape, adj: "HYBMatrix | None" = None):
         self.ell = ell
+        self._h_tail_rows = _keep_host(tail_rows, np.int32)
+        self._h_tail_cols = _keep_host(tail_cols, np.int32)
+        self._h_tail_vals = _keep_host(tail_vals)
         self.tail_rows = jnp.asarray(tail_rows, dtype=jnp.int32)
         self.tail_cols = jnp.asarray(tail_cols, dtype=jnp.int32)
         self.tail_vals = jnp.asarray(tail_vals)
         self._shape = (int(shape[0]), int(shape[1]))
         self.adj = adj
+
+    def _host(self, name):
+        h = getattr(self, "_h_" + name)
+        return h if h is not None else np.asarray(getattr(self, name))
 
     @property
     def shape(self):
@@ -361,9 +391,9 @@ class HYBMatrix(LinearOperator):
         if self.adj is not None:
             return self
         csr = self.to_csr()
-        rows = np.asarray(csr.row_ids)
-        cols = np.asarray(csr.indices)
-        vals = np.conj(np.asarray(csr.data))
+        rows = csr._host("row_ids")
+        cols = csr._host("indices")
+        vals = np.conj(csr._host("data"))
         n, m = self._shape
         adj = CSRMatrix.from_coo(cols, rows, vals, (m, n)).to_hyb()
         return HYBMatrix(self.ell, self.tail_rows, self.tail_cols,
@@ -376,14 +406,14 @@ class HYBMatrix(LinearOperator):
         return out.at[self.tail_rows, self.tail_cols].add(self.tail_vals)
 
     def to_csr(self) -> "CSRMatrix":
-        data = np.asarray(self.ell.data)
-        cols = np.asarray(self.ell.cols)
+        data = self.ell._host("data")
+        cols = self.ell._host("cols")
         n = self._shape[0]
         rows = np.broadcast_to(np.arange(n)[:, None], cols.shape)
         mask = data != 0
-        all_rows = np.concatenate([rows[mask], np.asarray(self.tail_rows)])
-        all_cols = np.concatenate([cols[mask], np.asarray(self.tail_cols)])
-        all_vals = np.concatenate([data[mask], np.asarray(self.tail_vals)])
+        all_rows = np.concatenate([rows[mask], self._host("tail_rows")])
+        all_cols = np.concatenate([cols[mask], self._host("tail_cols")])
+        all_vals = np.concatenate([data[mask], self._host("tail_vals")])
         return CSRMatrix.from_coo(all_rows, all_cols, all_vals, self._shape)
 
     def tree_flatten(self):
@@ -394,6 +424,7 @@ class HYBMatrix(LinearOperator):
     def tree_unflatten(cls, aux, leaves):
         obj = object.__new__(cls)
         obj.ell, obj.tail_rows, obj.tail_cols, obj.tail_vals, obj.adj = leaves
+        obj._h_tail_rows = obj._h_tail_cols = obj._h_tail_vals = None
         obj._shape = aux
         return obj
 
@@ -413,12 +444,20 @@ class DIAMatrix(LinearOperator):
 
     def __init__(self, data, offsets: Tuple[int, ...], shape):
         if isinstance(data, (tuple, list)):
+            self._h_diags = tuple(_keep_host(d) for d in data)
             self.diags = tuple(jnp.asarray(d) for d in data)
         else:
             host = np.asarray(data) if not isinstance(data, jax.Array) else data
+            self._h_diags = tuple(
+                _keep_host(host[k]) for k in range(host.shape[0])
+            )
             self.diags = tuple(jnp.asarray(host[k]) for k in range(host.shape[0]))
         self.offsets = tuple(int(o) for o in offsets)
         self._shape = (int(shape[0]), int(shape[1]))
+
+    def _host_diag(self, k):
+        h = self._h_diags[k]
+        return h if h is not None else np.asarray(self.diags[k])
 
     @property
     def data(self):
@@ -482,7 +521,7 @@ class DIAMatrix(LinearOperator):
         all_rows, all_cols, all_vals = [], [], []
         i = np.arange(n)
         for k, off in enumerate(self.offsets):
-            dk = np.asarray(self.diags[k])
+            dk = self._host_diag(k)
             cols = i + off
             mask = (cols >= 0) & (cols < m) & (dk != 0)
             all_rows.append(i[mask])
@@ -498,7 +537,7 @@ class DIAMatrix(LinearOperator):
             d = np.zeros(min(self._shape), dtype=self.dtype)
             return d, np.zeros(min(self._shape), dtype=bool)
         k = self.offsets.index(0)
-        d = np.asarray(self.diags[k])[: min(self._shape)]
+        d = self._host_diag(k)[: min(self._shape)]
         return d, np.ones(min(self._shape), dtype=bool)
 
     def tree_flatten(self):
@@ -508,6 +547,7 @@ class DIAMatrix(LinearOperator):
     def tree_unflatten(cls, aux, leaves):
         obj = object.__new__(cls)
         (obj.diags,) = leaves
+        obj._h_diags = tuple(None for _ in obj.diags)
         obj.offsets, obj._shape = aux
         return obj
 
@@ -536,9 +576,9 @@ class BSRMatrix(LinearOperator):
         bs = int(block_size)
         if n % bs or m % bs:
             raise ValueError("matrix shape must be divisible by the block size")
-        rows = np.asarray(csr.row_ids, np.int64)
-        cols = np.asarray(csr.indices, np.int64)
-        vals = np.asarray(csr.data)
+        rows = csr._host("row_ids").astype(np.int64)
+        cols = csr._host("indices").astype(np.int64)
+        vals = csr._host("data")
         brows = rows // bs
         bcols = cols // bs
         keys = brows * (m // bs) + bcols

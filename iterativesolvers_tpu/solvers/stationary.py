@@ -30,7 +30,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..operators.sparse import CSRMatrix, DIAMatrix, ELLMatrix, csr_from_dense
+from ..operators.sparse import CSRMatrix, DIAMatrix, ELLMatrix, HYBMatrix, csr_from_dense
 from ..ops.triangular import LevelScheduledTriangular
 from ..utils.dtypes import solve_dtype
 from .common import SolverIterator
@@ -76,7 +76,7 @@ def _strict_csr(rows, cols, vals, n, lower: bool):
 
 
 def _split_matrix(A, need_lower_solve=False, need_upper_solve=False) -> _Split:
-    if isinstance(A, (DIAMatrix, ELLMatrix)):
+    if isinstance(A, (DIAMatrix, ELLMatrix, HYBMatrix)):
         A = A.to_csr()
     if isinstance(A, CSRMatrix):
         n = A.shape[0]
@@ -262,7 +262,7 @@ def _solve(A, b, omega, x0, maxiter, method, ordering):
     split, b, x = _prep(A, b, x0, method, ordering)
     om = None if omega is None else jnp.asarray(omega, split.diag.dtype)
     if ordering == "multicolor" and method != "jacobi":
-        Ac = A.to_csr() if isinstance(A, (DIAMatrix, ELLMatrix)) else (
+        Ac = A.to_csr() if isinstance(A, (DIAMatrix, ELLMatrix, HYBMatrix)) else (
             A if isinstance(A, CSRMatrix) else csr_from_dense(np.asarray(A))
         )
         color, nc = _color_classes(Ac)

@@ -231,9 +231,6 @@ def _ritz_and_bounds_core(L: PartialFactorization):
     return U, s, V, dsig, delta
 
 
-_ritz_and_bounds = jax.jit(with_highest_precision(_ritz_and_bounds_core))
-
-
 class _SvdlState(NamedTuple):
     L: PartialFactorization
     U: jax.Array          # (k, k) left singular vecs of the projected matrix

@@ -54,25 +54,14 @@ def laplace_dia(n: int, dims: int, dtype=np.float64) -> DIAMatrix:
 def laplace_matrix_coo(n: int, dims: int, dtype=np.float64):
     """The same dims-D Laplacian as :func:`laplace_dia` in COO triplet form —
     for exercising IO (MatrixMarket) and host-side format-conversion paths.
-    Returns ``(rows, cols, vals, N)`` with 0-based indices."""
-    A = laplace_dia(n, dims, dtype=dtype)
-    N = A.shape[0]
-    rows_l, cols_l, vals_l = [], [], []
-    i = np.arange(N)
-    for diag, off in zip(A.diags, A.offsets):
-        d = np.asarray(diag)
-        r = i[max(0, -off): N - max(0, off)]
-        c = r + off
-        v = d[r]
-        keep = v != 0
-        rows_l.append(r[keep])
-        cols_l.append(c[keep])
-        vals_l.append(v[keep])
-    rows = np.concatenate(rows_l)
-    cols = np.concatenate(cols_l)
-    vals = np.concatenate(vals_l)
-    order = np.lexsort((cols, rows))
-    return rows[order], cols[order], vals[order], N
+    Returns ``(rows, cols, vals, N)`` with 0-based (row, col)-sorted indices."""
+    csr = laplace_dia(n, dims, dtype=dtype).to_csr()
+    return (
+        np.asarray(csr.row_ids),
+        np.asarray(csr.indices),
+        np.asarray(csr.data),
+        csr.shape[0],
+    )
 
 
 def sym_tridiagonal_dia(diag_val, off_val, n: int, dtype=np.float64) -> DIAMatrix:

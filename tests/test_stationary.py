@@ -176,3 +176,25 @@ def test_multicolor_coloring_valid(rng):
     off = rows != cols
     assert not np.any(color[rows[off]] == color[cols[off]])
     assert nc == color.max() + 1
+
+
+def test_stationary_accepts_hyb(rng):
+    """HYBMatrix dispatches through the sparse split like CSR/ELL/DIA."""
+    import iterativesolvers_tpu as its
+    from iterativesolvers_tpu.operators.sparse import csr_from_dense
+
+    n = 40
+    M = rng.random((n, n))
+    M[np.abs(M) < 0.6] = 0
+    M = M + M.T + 4 * n * np.eye(n)
+    M[2, :] = rng.random(n) * 0.01  # heavy row -> nonempty HYB tail
+    M[2, 2] = 4 * n
+    hyb = csr_from_dense(M).to_hyb()
+    b = rng.random(n)
+    for run in (
+        lambda: its.jacobi(hyb, b, maxiter=40),
+        lambda: its.gauss_seidel(hyb, b, maxiter=40),
+        lambda: its.sor(hyb, b, 1.1, maxiter=40, ordering="multicolor"),
+    ):
+        x = np.asarray(run())
+        assert np.linalg.norm(M @ x - b) / np.linalg.norm(b) < 1e-3

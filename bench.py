@@ -57,14 +57,27 @@ def main():
     # dispatch latency, so time two solve lengths and difference them to get
     # pure per-iteration device time.  reltol=0 keeps both runs at full
     # maxiter (the 1e-6 target needs > 300 iters on this problem anyway).
+    def fence(arr):
+        # On the remote-attached backend ``block_until_ready`` returns after
+        # dispatch, NOT completion (measured: a 200-iteration solve "took"
+        # 1.7 ms by block_until_ready while the scalar readback then waited
+        # out the real execution).  The only reliable timing fence is a
+        # scalar readback.
+        return float(jnp.sum(arr))
+
     def timed_solve(maxiter, reps=4):
+        # every timed call gets a unique RHS: the remote backend can also
+        # serve repeat executions of an identical (executable, operands)
+        # pair from cache; a per-rep scalar shift keeps the compilation
+        # while forcing real execution.
         x = its.cg(A, b, reltol=0.0, abstol=1e-30, maxiter=maxiter)
-        x.block_until_ready()
+        fence(x)
         best = float("inf")
-        for _ in range(reps):
+        for r in range(reps):
+            bb = b + jnp.float32(1e-6 * (r + 1) * maxiter)
             t0 = time.perf_counter()
-            x = its.cg(A, b, reltol=0.0, abstol=1e-30, maxiter=maxiter)
-            x.block_until_ready()
+            x = its.cg(A, bb, reltol=0.0, abstol=1e-30, maxiter=maxiter)
+            fence(x)
             best = min(best, time.perf_counter() - t0)
         return best
 
@@ -87,12 +100,13 @@ def main():
 
     def triad_time(K, reps=4):
         v = _triad(b, K)
-        v.block_until_ready()
+        fence(v)
         best = float("inf")
-        for _ in range(reps):
+        for r in range(reps):
+            vv = b + jnp.float32(1e-6 * (r + 1) * K)  # defeat result memoization
             t0 = time.perf_counter()
-            v = _triad(b, K)
-            v.block_until_ready()
+            v = _triad(vv, K)
+            fence(v)
             best = min(best, time.perf_counter() - t0)
         return best
 

@@ -22,6 +22,7 @@ from .operators.preconditioners import (
     Preconditioner,
     as_preconditioner,
 )
+from .operators.stencil import StencilOperator, laplacian
 from .operators.sparse import (
     BSRMatrix,
     CSRMatrix,

@@ -1,0 +1,132 @@
+"""Matrix-free constant-coefficient stencil operator.
+
+The reference applies matrix-free operators through duck typing (LinearMaps
+in its tests, test/cg.jl:71-77); the TPU-native analogue for the Laplace /
+advection-diffusion fixture family is a **constant-coefficient stencil**:
+the DIA format stores each diagonal explicitly (7 full-length streams for a
+3-D Laplacian — ~7x the traffic of the vectors themselves), but when the
+coefficient along each offset is a constant, the SpMV needs NO matrix data
+at all: shifted reads of x, boundary masks from index arithmetic (iota
+compares — fused into the multiply-adds, zero HBM traffic), and scalar
+multiplies.  On an HBM-bound CG iteration this cuts streamed bytes from
+(ndiag + ~5) n * 4 to ~5 n * 4.
+
+``laplacian(side, dims)`` builds the reference fixture operator
+(test/laplace_matrix.jl:1-13) in this form; equality with ``laplace_dia``
+is tested element-wise.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .linear_operator import LinearOperator
+
+__all__ = ["StencilOperator", "laplacian"]
+
+
+@jax.tree_util.register_pytree_node_class
+class StencilOperator(LinearOperator):
+    """y[i] = sum_k coeff_k * x[i + offset_k], with Dirichlet masking on the
+    grid axis each offset couples: an offset of ``±stride`` on a grid with
+    that axis extent ``extent`` contributes only where the axis position
+    stays inside [0, extent).
+
+    ``terms`` is a static tuple of (offset, stride, extent) per off-diagonal
+    term; ``coeffs`` (same order, plus the center coefficient first) are
+    scalars carried as device values so they can be traced/donated.
+    """
+
+    def __init__(self, n: int, center: float, terms: Tuple[Tuple[int, int, int], ...],
+                 coeffs, dtype=np.float32):
+        self.n = int(n)
+        self.terms = tuple((int(o), int(s), int(e)) for (o, s, e) in terms)
+        self.center = jnp.asarray(center, dtype)
+        self.coeffs = tuple(jnp.asarray(c, dtype) for c in coeffs)
+        if len(self.coeffs) != len(self.terms):
+            raise ValueError("one coefficient per stencil term")
+
+    @property
+    def shape(self):
+        return (self.n, self.n)
+
+    @property
+    def dtype(self):
+        return self.center.dtype
+
+    def _apply(self, x, conj: bool):
+        # padded shifted slices, same pattern as DIAMatrix.mv (jnp.roll
+        # materializes a full copy per term; slices of one padded buffer
+        # fuse into a single VPU pass over x)
+        n = self.n
+        i = jax.lax.iota(jnp.int32, n)
+        cc = jnp.conj(self.center) if conj else self.center
+        pad = max(max((abs(o) for (o, _, _) in self.terms), default=0), 1)
+        xp = jnp.pad(x, ((pad, pad),) + ((0, 0),) * (x.ndim - 1))
+        y = x * cc
+        for (off, stride, extent), c in zip(self.terms, self.coeffs):
+            c = jnp.conj(c) if conj else c
+            off_eff = -off if conj else off
+            # valid rows i: the coupled axis position stays on-grid:
+            # pos = (i // stride) % extent moves by off_eff/stride
+            pos = (i // stride) % extent
+            step = off_eff // stride
+            valid = (pos + step >= 0) & (pos + step < extent)
+            shifted = jax.lax.dynamic_slice_in_dim(xp, pad + off_eff, n, axis=0)
+            mask = valid if x.ndim == 1 else valid[:, None]
+            y = y + jnp.where(mask, c * shifted, 0)
+        return y
+
+    def mv(self, x):
+        return self._apply(x, conj=False)
+
+    def rmv(self, x):
+        return self._apply(x, conj=True)
+
+    def to_dia(self):
+        """Materialize as DIAMatrix (for tests / interop)."""
+        from .sparse import DIAMatrix
+
+        n = self.n
+        i = np.arange(n)
+        offsets = [0] + [off for (off, _, _) in self.terms]
+        data = [np.full(n, complex(self.center) if np.iscomplexobj(
+            np.asarray(self.center)) else float(self.center),
+            dtype=np.asarray(self.center).dtype)]
+        for (off, stride, extent), c in zip(self.terms, self.coeffs):
+            pos = (i // stride) % extent
+            step = off // stride
+            valid = (pos + step >= 0) & (pos + step < extent) & (i + off >= 0) & (i + off < n)
+            cval = np.asarray(c)
+            data.append(np.where(valid, cval, 0).astype(cval.dtype))
+        order = np.argsort(offsets)
+        return DIAMatrix([data[k] for k in order],
+                         tuple(offsets[k] for k in order), (n, n))
+
+    def tree_flatten(self):
+        return (self.center, self.coeffs), (self.n, self.terms)
+
+    @classmethod
+    def tree_unflatten(cls, aux, leaves):
+        obj = object.__new__(cls)
+        obj.center, obj.coeffs = leaves
+        obj.n, obj.terms = aux
+        return obj
+
+
+def laplacian(side: int, dims: int, dtype=np.float32) -> StencilOperator:
+    """The dims-D Laplacian on a side^dims grid as a matrix-free stencil —
+    same matrix as ``fixtures.laplace_dia`` (test/laplace_matrix.jl:1-13),
+    zero stored matrix data."""
+    n = side**dims
+    terms = []
+    coeffs = []
+    for k in range(dims):
+        stride = side**k
+        terms += [(stride, stride, side), (-stride, stride, side)]
+        coeffs += [-1.0, -1.0]
+    return StencilOperator(n, 2 * dims, tuple(terms), coeffs, dtype=dtype)

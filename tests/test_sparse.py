@@ -216,3 +216,55 @@ def test_hyb_empty_tail_and_solver(rng):
     # auto width inside a solver too
     x2 = np.asarray(its.gmres(csr_from_dense(M).to_hyb(), b, reltol=1e-10, restart=30))
     assert np.linalg.norm(M @ x2 - b) / np.linalg.norm(b) < 1e-7
+
+
+def test_stencil_laplacian_matches_dia(rng):
+    from iterativesolvers_tpu.operators.stencil import laplacian
+    from iterativesolvers_tpu.utils.fixtures import laplace_dia
+
+    for side, dims in ((16, 2), (6, 3)):
+        St = laplacian(side, dims, dtype=np.float64)
+        A = laplace_dia(side, dims, dtype=np.float64)
+        x = rng.random(side**dims)
+        np.testing.assert_allclose(
+            np.asarray(St.mv(jnp.asarray(x))), np.asarray(A.mv(jnp.asarray(x))),
+            rtol=1e-13,
+        )
+        np.testing.assert_allclose(  # symmetric: rmv == mv
+            np.asarray(St.rmv(jnp.asarray(x))), np.asarray(A.mv(jnp.asarray(x))),
+            rtol=1e-13,
+        )
+        np.testing.assert_allclose(
+            np.asarray(St.to_dia().to_dense()), np.asarray(A.to_dense()),
+            rtol=1e-13,
+        )
+
+
+def test_stencil_nonsymmetric_rmv(rng):
+    """Advection-like stencil: rmv must transpose the shifts and masks."""
+    from iterativesolvers_tpu.operators.stencil import StencilOperator
+
+    side, dims = 8, 2
+    n = side**dims
+    # center 4, east -2, west -0.5 (nonsymmetric), north/south -1
+    St = StencilOperator(
+        n, 4.0,
+        ((1, 1, side), (-1, 1, side), (side, side, side), (-side, side, side)),
+        (-2.0, -0.5, -1.0, -1.0), dtype=np.float64,
+    )
+    M = np.asarray(St.to_dia().to_dense())
+    x = rng.random(n)
+    np.testing.assert_allclose(np.asarray(St.mv(jnp.asarray(x))), M @ x, rtol=1e-13)
+    np.testing.assert_allclose(np.asarray(St.rmv(jnp.asarray(x))), M.T @ x, rtol=1e-13)
+
+
+def test_stencil_in_cg(rng):
+    from iterativesolvers_tpu.operators.stencil import laplacian
+
+    St = laplacian(16, 2, dtype=np.float64)
+    b = np.ones(256)
+    x, h = its.cg(St, b, reltol=1e-10, maxiter=600, log=True)
+    assert h.isconverged
+    from iterativesolvers_tpu.utils.fixtures import laplace_dia
+    M = np.asarray(laplace_dia(16, 2, dtype=np.float64).to_dense())
+    assert np.linalg.norm(M @ np.asarray(x) - b) / np.linalg.norm(b) < 1e-8

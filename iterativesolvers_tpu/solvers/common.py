@@ -159,10 +159,12 @@ def with_highest_precision(f):
     return g
 
 
-def run_chunked(step, done, state, chunk: int = 64):
+def run_chunked(step, done, state, chunk: int = 256):
     """Drive ``state = step(state)`` until ``done(state)``, checking the
-    data-dependent exit only once per ``chunk`` steps (64 amortizes the
-    ~2 ms remote sync to ~30 us/iteration; late-exit steps are no-ops).
+    data-dependent exit only once per ``chunk`` steps (the data-dependent
+    while-condition costs ~1.5 ms of sequencer sync per trip on the
+    remote-attached backend — measured 24 us/iter at chunk 64, 6 us/iter at
+    256 on the 2M-row CG; late-exit steps are no-ops).
 
     On the remote-attached TPU backend a ``lax.while_loop`` whose condition
     depends on device data synchronizes the sequencer every trip (~ms each —
@@ -196,11 +198,11 @@ def run_chunked(step, done, state, chunk: int = 64):
         return jax.lax.fori_loop(0, c, guarded, s)
 
     # progressive warmup: masked steps still execute (discarded) work, so a
-    # solve converging at iteration ~10 should not burn a full 64-step
+    # solve converging at iteration ~10 should not burn a full steady-state
     # chunk.  Short phases first (each skipped entirely once done — a
-    # phase-granularity lax.cond costs one carry copy, paid at most 3
-    # times per solve), then the steady-state chunk.
-    for c in (8, 16, 32):
+    # phase-granularity lax.cond costs one carry copy, paid at most a
+    # handful of times per solve), then the steady-state chunk.
+    for c in (8, 16, 32, 64, 128):
         if c < chunk:
             state = jax.lax.cond(
                 done(state), lambda t: t, lambda t: run_phase(t, c), state

@@ -98,12 +98,16 @@ def bench_bicgstabl_advdiff():
     from iterativesolvers_tpu.utils.fixtures import advection_diffusion
 
     A, b = advection_diffusion(50, dtype=np.float32)
+    St = its.advection_diffusion_stencil(50, dtype=np.float32)
     b = jnp.asarray(b)
     out = {}
     for l in (2, 4):
         x, h = its.bicgstabl(A, b, l, max_mv_products=1000, reltol=1e-6, log=True)
         t, _ = _timeit(lambda r: its.bicgstabl(A, _shift(b, r), l, max_mv_products=1000, reltol=1e-6))
         out[f"l{l}"] = dict(wall_s=round(t, 4), cycles=h.iters, converged=h.isconverged)
+    # matrix-free stencil path for the same operator
+    t, _ = _timeit(lambda r: its.bicgstabl(St, _shift(b, r), 2, max_mv_products=1000, reltol=1e-6))
+    out["l2_stencil"] = dict(wall_s=round(t, 4))
     return dict(wall_s=out["l2"]["wall_s"], iters=out["l2"]["cycles"],
                 converged=out["l2"]["converged"], detail=out)
 

@@ -22,7 +22,11 @@ from .operators.preconditioners import (
     Preconditioner,
     as_preconditioner,
 )
-from .operators.stencil import StencilOperator, laplacian
+from .operators.stencil import (
+    StencilOperator,
+    advection_diffusion_stencil,
+    laplacian,
+)
 from .operators.sparse import (
     BSRMatrix,
     CSRMatrix,

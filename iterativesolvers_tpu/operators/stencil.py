@@ -26,7 +26,7 @@ import numpy as np
 
 from .linear_operator import LinearOperator
 
-__all__ = ["StencilOperator", "laplacian"]
+__all__ = ["StencilOperator", "laplacian", "advection_diffusion_stencil"]
 
 
 @jax.tree_util.register_pytree_node_class
@@ -116,6 +116,29 @@ class StencilOperator(LinearOperator):
         obj.center, obj.coeffs = leaves
         obj.n, obj.terms = aux
         return obj
+
+
+def advection_diffusion_stencil(N: int = 50, beta: float = 1000.0,
+                                dtype=np.float32) -> StencilOperator:
+    """The 3-D advection-diffusion benchmark operator (Δu + β·u_x, central
+    differences — benchmark/advection_diffusion.jl:3-31 / the
+    ``fixtures.advection_diffusion`` matrix) as a matrix-free stencil:
+    every offset's coefficient is constant, only boundary masks vary."""
+    n = N**3
+    h = 1.0 / (N + 1)
+    inv_h2 = -1.0 / (h * h)       # fixture scales the Laplacian by -1/h^2
+    adv = beta / (2 * h)
+    terms = (
+        (1, 1, N), (-1, 1, N),          # x neighbours (advection axis)
+        (N, N, N), (-N, N, N),          # y
+        (N * N, N * N, N), (-N * N, N * N, N),  # z
+    )
+    coeffs = (
+        -1.0 * inv_h2 + adv, -1.0 * inv_h2 - adv,
+        -1.0 * inv_h2, -1.0 * inv_h2,
+        -1.0 * inv_h2, -1.0 * inv_h2,
+    )
+    return StencilOperator(n, 6.0 * inv_h2, terms, coeffs, dtype=dtype)
 
 
 def laplacian(side: int, dims: int, dtype=np.float32) -> StencilOperator:

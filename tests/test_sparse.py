@@ -268,3 +268,20 @@ def test_stencil_in_cg(rng):
     from iterativesolvers_tpu.utils.fixtures import laplace_dia
     M = np.asarray(laplace_dia(16, 2, dtype=np.float64).to_dense())
     assert np.linalg.norm(M @ np.asarray(x) - b) / np.linalg.norm(b) < 1e-8
+
+
+def test_advection_diffusion_stencil_matches_dia(rng):
+    from iterativesolvers_tpu.operators.stencil import advection_diffusion_stencil
+    from iterativesolvers_tpu.utils.fixtures import advection_diffusion
+
+    N = 8
+    A, b = advection_diffusion(N, dtype=np.float64)
+    St = advection_diffusion_stencil(N, dtype=np.float64)
+    x = rng.random(N**3)
+    np.testing.assert_allclose(
+        np.asarray(St.mv(jnp.asarray(x))), np.asarray(A.mv(jnp.asarray(x))),
+        rtol=1e-12,
+    )
+    # adjoint of the nonsymmetric operator
+    M = np.asarray(A.to_dense())
+    np.testing.assert_allclose(np.asarray(St.rmv(jnp.asarray(x))), M.T @ x, rtol=1e-12)

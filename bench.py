@@ -47,7 +47,8 @@ def main():
     import iterativesolvers_tpu as its
     from iterativesolvers_tpu.utils.fixtures import laplace_dia
 
-    side = 128  # 128^3 = 2,097,152 rows, 7 diagonals -> ~14.7M nnz
+    side = 216  # 216^3 = 10,077,696 rows (the BASELINE "10M-row 3-D
+    # Laplacian" north-star workload), 7 diagonals -> ~70M nnz
     A = laplace_dia(side, 3, dtype=np.float32)
     St = its.laplacian(side, 3, dtype=np.float32)  # same matrix, matrix-free
     n = A.shape[0]

@@ -114,3 +114,30 @@ def test_history_series(rng, solver):
     for key in ("rnorm", "anorm", "cnorm"):
         assert len(h[key]) == h.iters
     assert h.mtvps >= h.iters  # one adjoint product per iteration + initial
+
+
+def test_baseline_config4_lsqr_lsmr_lobpcg(rng):
+    """BASELINE workload 4: LSQR/LSMR on a rectangular system + LOBPCG
+    smallest eigenpairs."""
+    import jax.numpy as jnp
+    import iterativesolvers_tpu as its
+    from iterativesolvers_tpu.utils.fixtures import laplace_dia, random_sparse
+
+    A = random_sparse(300, 120, 0.05, seed=21)
+    x_true = rng.random(120)
+    b = jnp.asarray(np.asarray(A.to_dense()) @ x_true)
+    for solver in (its.lsqr, its.lsmr):
+        x, h = solver(A.to_ell().with_adjoint(), b, atol=1e-10, btol=1e-10,
+                      maxiter=400, log=True)
+        r = np.asarray(A.to_dense()) @ np.asarray(x) - np.asarray(b)
+        assert np.linalg.norm(r) / np.linalg.norm(b) < 1e-6
+
+    L = laplace_dia(16, 2)
+    X0 = rng.random((L.shape[0], 4))
+    res = its.lobpcg(L, X0, largest=False, tol=1e-6, maxiter=400)
+    assert res.converged
+    lam_exact = sorted(
+        2 * (2 - np.cos(np.pi * i / 17) - np.cos(np.pi * j / 17))
+        for i in range(1, 5) for j in range(1, 5)
+    )[:4]
+    np.testing.assert_allclose(np.asarray(res.lam), lam_exact, rtol=1e-4)

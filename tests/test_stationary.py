@@ -198,3 +198,25 @@ def test_stationary_accepts_hyb(rng):
     ):
         x = np.asarray(run())
         assert np.linalg.norm(M @ x - b) / np.linalg.norm(b) < 1e-3
+
+
+def test_baseline_config3_stationary_and_chebyshev(rng):
+    """BASELINE workload 3: stationary sweeps + Chebyshev with spectral
+    bounds on the 2-D Laplacian (analytic eigenvalue bounds
+    4*sin^2(pi/(2(n+1))) .. 8*cos^2(pi/(2(n+1))) per axis sum)."""
+    import iterativesolvers_tpu as its
+    from iterativesolvers_tpu.utils.fixtures import laplace_dia
+
+    side = 16
+    A = laplace_dia(side, 2)
+    n = A.shape[0]
+    b = np.ones(n)
+    lam1 = 2 * (2 - 2 * np.cos(np.pi / (side + 1)))
+    lamn = 2 * (2 + 2 * np.cos(np.pi / (side + 1)))
+    x, h = its.chebyshev(A, b, lam1, lamn, reltol=1e-8, maxiter=2000, log=True)
+    assert h.isconverged
+    M = np.asarray(A.to_dense())
+    assert np.linalg.norm(M @ np.asarray(x) - b) / np.linalg.norm(b) < 1e-6
+    # 20 SOR sweeps reduce the residual (fixed-sweep contract, no conv test)
+    xs = np.asarray(its.sor(A, b, 1.5, maxiter=200))
+    assert np.linalg.norm(M @ xs - b) < np.linalg.norm(b)

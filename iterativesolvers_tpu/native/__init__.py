@@ -70,6 +70,15 @@ def coo_to_csr(rows, cols, vals, n_rows: int):
     rows = np.ascontiguousarray(rows, np.int64)
     cols = np.ascontiguousarray(cols, np.int64)
     vals64 = np.ascontiguousarray(vals, np.float64)
+    # the C++ counting sort indexes raw buffers with these (count[row+1]++,
+    # int32 cast of col) — out-of-range input must never reach it
+    if rows.size and (int(rows.min()) < 0 or int(rows.max()) >= n_rows):
+        raise ValueError(
+            f"row indices out of range [0, {n_rows}): "
+            f"[{rows.min()}, {rows.max()}]"
+        )
+    if cols.size and (int(cols.min()) < 0 or int(cols.max()) >= 2**31):
+        raise ValueError("column indices must fit int32 and be >= 0")
     lib = get_lib()
     if lib is None:
         return _coo_to_csr_numpy(rows, cols, vals64, n_rows)

@@ -41,6 +41,21 @@ def _keep_host(x, dtype=None):
         return None
     return np.asarray(x, dtype=dtype) if dtype is not None else np.asarray(x)
 
+def _validate_coo_indices(rows, cols, shape):
+    """Raise ValueError on out-of-range COO indices (hostile/malformed input
+    would otherwise corrupt memory in the native counting sort)."""
+    n_rows, n_cols = int(shape[0]), int(shape[1])
+    if rows.size and (
+        int(rows.min()) < 0 or int(rows.max()) >= n_rows
+        or int(cols.min()) < 0 or int(cols.max()) >= n_cols
+    ):
+        raise ValueError(
+            f"COO indices out of range for shape ({n_rows}, {n_cols}): "
+            f"rows in [{rows.min()}, {rows.max()}], "
+            f"cols in [{cols.min()}, {cols.max()}]"
+        )
+
+
 __all__ = [
     "CSRMatrix",
     "ELLMatrix",
@@ -81,6 +96,10 @@ class CSRMatrix(LinearOperator):
         rows = np.asarray(rows, dtype=np.int64)
         cols = np.asarray(cols, dtype=np.int64)
         vals = np.asarray(vals)
+        # indices may come from untrusted files (MatrixMarket); validate
+        # before they reach the native counting sort, which indexes raw
+        # buffers with them.
+        _validate_coo_indices(rows, cols, shape)
         if not np.iscomplexobj(vals):
             # native O(nnz) counting-sort path (itsolvers_native.cpp)
             from ..native import coo_to_csr

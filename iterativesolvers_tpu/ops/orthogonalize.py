@@ -99,6 +99,13 @@ def orthogonalize_and_normalize_rows(Vt, w, method: str = "mgs"):
 
 
 def orthogonalize_and_normalize(V, w, method: str = "mgs"):
+    """Column-panel variant — the public API analogue of the reference's
+    exported ``orthogonalize_and_normalize!(V, w, h, method)``
+    (src/orthogonalize.jl:1-11), for user code that keeps a basis as (n, m)
+    columns.  Internal solvers use :func:`orthogonalize_and_normalize_rows`
+    instead: on TPU the (m, n) row layout is the fast one (see its
+    docstring), but the reference's column convention is kept here for
+    drop-in parity."""
     if method == "mgs":
         h, w = _mgs(V, w)
     elif method == "cgs":

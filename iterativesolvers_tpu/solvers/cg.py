@@ -65,7 +65,7 @@ def _cg_init(op, b, x0, reltol, abstol, maxiter, initially_zero):
     )
 
 
-def _cg_step(op, Pl, state: CGState, verbose: bool = False) -> CGState:
+def _cg_step(op, Pl, state: CGState, verbose: bool = False, maxiter=None) -> CGState:
     c = Pl.ldiv(state.r)
     rho = vdot(c, state.r)
     beta = rho / state.rho
@@ -76,7 +76,16 @@ def _cg_step(op, Pl, state: CGState, verbose: bool = False) -> CGState:
     r = state.r - alpha * c
     residual = norm(r)
     if verbose:
-        jax.debug.print("{k:3d}\t{res:.2e}", k=state.k + 1, res=residual)
+        # run_chunked keeps re-stepping the frozen state (discarded) until
+        # the chunk boundary — gate the print on liveness so a converged
+        # solve doesn't emit up to chunk-1 duplicate final lines
+        live = ~_cg_done(state, maxiter) if maxiter is not None else True
+        jax.lax.cond(
+            live,
+            lambda k, res: jax.debug.print("{k:3d}\t{res:.2e}", k=k, res=res),
+            lambda k, res: None,
+            state.k + 1, residual,
+        )
     return CGState(
         x=x,
         r=r,
@@ -97,7 +106,7 @@ def _cg_done(state: CGState, maxiter: int):
 def _cg_solve(op, b, x0, Pl, reltol, abstol, maxiter, initially_zero, verbose):
     state0 = _cg_init(op, b, x0, reltol, abstol, maxiter, initially_zero)
     final = run_chunked(
-        lambda s: _cg_step(op, Pl, s, verbose),
+        lambda s: _cg_step(op, Pl, s, verbose, maxiter),
         lambda s: _cg_done(s, maxiter),
         state0,
     )

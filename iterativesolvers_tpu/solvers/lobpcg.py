@@ -59,10 +59,13 @@ class LOBPCGResults(NamedTuple):
     X: jax.Array               # (n, nev) eigenvectors
     tolerance: float
     residual_norms: jax.Array  # (nev,)
-    iterations: int
+    iterations: int            # total across nev>blocksize batches
     maxiter: int
     converged: bool
     history: Optional[ConvergenceHistory] = None
+    # per-batch iteration counts, ~ the reference's ``iterations`` vector
+    # (one entry per nev>blocksize batch, src/lobpcg.jl:71,86)
+    batch_iterations: tuple = ()
 
 
 # ---------------------------------------------------------------------------
@@ -357,7 +360,8 @@ def lobpcg(
         Y, BY = _orthonormal_constraint(jnp.asarray(C))
 
     lam_out, X_out, res_out = [], [], []
-    iterations = 0
+    batch_iters: list[int] = []
+    batch_traces: list[np.ndarray] = []
     converged_all = True
     key = jax.random.PRNGKey(42)
     Xcur = X0
@@ -366,7 +370,11 @@ def lobpcg(
         S, final_resn = _lobpcg_run(
             opA, opB, prec, Xcur, Y, BY, largest, tol_, maxiter
         )
-        iterations = max(iterations, int(S.it))
+        batch_iters.append(int(S.it))
+        if log:
+            batch_traces.append(
+                np.asarray(S.resnorm_log)[: int(S.it)].max(axis=1)
+            )
         take = min(bs, remaining)
         lam_out.append(S.lam[:take])
         X_out.append(S.X[:, :take])
@@ -387,18 +395,24 @@ def lobpcg(
     X = jnp.concatenate(X_out, axis=1)
     resn = jnp.concatenate(res_out)
 
+    iterations = int(sum(batch_iters))
     history = None
     if log:
         history = ConvergenceHistory()
         history.iters = iterations
         history.isconverged = converged_all
-        # per-iteration max residual norm of the last batch
-        history.set_series(
-            "resnorm", np.asarray(S.resnorm_log).max(axis=1), int(S.it)
+        # per-iteration max residual norm, every batch's trace concatenated
+        # (the reference keeps one trace per nev>blocksize batch,
+        # src/lobpcg.jl:74,88; batch boundaries in :batch_iters)
+        trace = (
+            np.concatenate(batch_traces) if batch_traces
+            else np.zeros((0,), np.asarray(resn).dtype)
         )
+        history.set_series("resnorm", trace, trace.size)
+        history["batch_iters"] = tuple(batch_iters)
         history["tol"] = float(tol)
     return LOBPCGResults(
         lam=lam, X=X, tolerance=float(tol), residual_norms=resn,
         iterations=iterations, maxiter=maxiter, converged=converged_all,
-        history=history,
+        history=history, batch_iterations=tuple(batch_iters),
     )

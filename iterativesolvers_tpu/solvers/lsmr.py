@@ -160,9 +160,16 @@ def _lsmr_step(op, lam, atol, btol, ctol, maxiter, s: LSMRState, verbose=False):
     istop = jnp.where(it >= maxiter, 7, istop)
 
     if verbose:
-        jax.debug.print(
-            "{i:3d}\t{t2:.2e}\t{t3:.2e}\t{t1:.2e}",
-            i=it, t2=test2, t3=test3, t1=test1,
+        # gate on liveness (s was not yet stopped) so run_chunked's frozen
+        # re-steps don't duplicate the final line
+        jax.lax.cond(
+            (s.iter < maxiter) & (s.istop == 0),
+            lambda i, t2, t3, t1: jax.debug.print(
+                "{i:3d}\t{t2:.2e}\t{t3:.2e}\t{t1:.2e}",
+                i=i, t2=t2, t3=t3, t1=t1,
+            ),
+            lambda i, t2, t3, t1: None,
+            it, test2, test3, test1,
         )
 
     k = s.iter
@@ -256,12 +263,12 @@ def lsmr(
     """Solve min ‖Ax − b‖² + λ²‖x‖² (~ ``lsmr(!)``, src/lsmr.jl:1-94).
 
     Defaults mirror the reference (src/lsmr.jl:60-67): ``atol=btol=1e-6``,
-    ``conlim=1e8``, ``maxiter = max(m, n, 20)``.
+    ``conlim=1e8``, ``maxiter = max(m, n)`` (``maximum(size(A))``).
     """
     op = as_operator(A, b)
     b = jnp.asarray(b)
     m, n = op.shape
-    maxiter = int(maxiter if maxiter is not None else max(m, n, 20))
+    maxiter = int(maxiter if maxiter is not None else max(m, n))
     dtype = solve_dtype(op.dtype, b.dtype)
     rt = real_dtype(dtype)
     if x0 is None:

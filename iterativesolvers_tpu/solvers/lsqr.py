@@ -35,7 +35,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..operators.linear_operator import as_operator
-from ..utils.dtypes import real_dtype, solve_dtype
+from ..utils.dtypes import eps, real_dtype, solve_dtype
 from .common import SolveResult, make_history, norm, run_chunked
 
 __all__ = ["lsqr"]
@@ -151,9 +151,16 @@ def _lsqr_step(op, damp, atol, btol, ctol, maxiter, s: LSQRState, verbose=False)
     istop = jnp.where(test1 <= rtol, 1, istop)
 
     if verbose:
-        jax.debug.print(
-            "{i:3d}\t{r:.2e}\t{t2:.2e}\t{t3:.2e}\t{t1:.2e}",
-            i=itn, r=r1norm, t2=test2, t3=test3, t1=test1,
+        # gate on liveness (s was not yet stopped) so run_chunked's frozen
+        # re-steps don't duplicate the final line
+        jax.lax.cond(
+            (s.itn < maxiter) & (s.istop == 0),
+            lambda i, r, t2, t3, t1: jax.debug.print(
+                "{i:3d}\t{r:.2e}\t{t2:.2e}\t{t3:.2e}\t{t1:.2e}",
+                i=i, r=r, t2=t2, t3=t3, t1=t1,
+            ),
+            lambda i, r, t2, t3, t1: None,
+            itn, r1norm, test2, test3, test1,
         )
 
     k = s.itn
@@ -234,14 +241,21 @@ def lsqr(
     *,
     x0=None,
     damp: float = 0.0,
-    atol: float = 1e-8,
-    btol: float = 1e-8,
-    conlim: float = 1e8,
+    atol: float | None = None,
+    btol: float | None = None,
+    conlim: float | None = None,
     maxiter: int | None = None,
     log: bool = False,
     verbose: bool = False,
 ):
     """Solve min ‖Ax − b‖² + damp²‖x‖² (~ ``lsqr(!)``, src/lsqr.jl:1-98).
+
+    Defaults follow the reference and scale with the solve dtype
+    (src/lsqr.jl:90-93): ``atol = btol = sqrt(eps(real(T)))``,
+    ``conlim = 1/sqrt(eps(real(T)))``, ``maxiter = max(m, n)``
+    (``maximum(size(A))``) — so float32 operators get attainable
+    tolerances and terminate via istop 1-2, not the machine-precision
+    guards.
 
     Returns ``x`` or ``(x, ConvergenceHistory)``; the history carries
     ``istop`` and the :resnorm/:rnorm/:anorm/:cnorm series
@@ -250,9 +264,16 @@ def lsqr(
     op = as_operator(A, b)
     b = jnp.asarray(b)
     m, n = op.shape
-    maxiter = int(maxiter if maxiter is not None else max(m, n, 20))
+    maxiter = int(maxiter if maxiter is not None else max(m, n))
     dtype = solve_dtype(op.dtype, b.dtype)
     rt = real_dtype(dtype)
+    sqrt_eps = float(np.sqrt(eps(dtype)))
+    if atol is None:
+        atol = sqrt_eps
+    if btol is None:
+        btol = sqrt_eps
+    if conlim is None:
+        conlim = 1.0 / sqrt_eps
     if x0 is None:
         x0 = jnp.zeros(n, dtype)
     ctol = 1.0 / conlim if conlim > 0 else 0.0

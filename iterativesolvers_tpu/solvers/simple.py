@@ -51,18 +51,32 @@ def _power_init(x0, maxiter):
         theta=jnp.zeros((), dtype),
         residual=jnp.asarray(np.finfo(rt).max, rt),
         k=jnp.zeros((), jnp.int32),
-        resnorm_log=jnp.zeros((max(maxiter, 1),), rt),
+        # done is ``k > maxiter`` (src/simple.jl:26) so up to maxiter+1 steps
+        # run and the final residual lands at index maxiter
+        resnorm_log=jnp.zeros((maxiter + 1,), rt),
     )
 
 
-def _power_step(op, state: PowerState, verbose: bool = False) -> PowerState:
+def _power_step(op, state: PowerState, verbose: bool = False,
+                tol=None, maxiter=None) -> PowerState:
     Ax = op.mv(state.x)
     theta = vdot(state.x, Ax)
     r = Ax - theta * state.x
     residual = norm(r)
     x = Ax / norm(Ax)
     if verbose:
-        jax.debug.print("{k:3d}\t{res:.2e}", k=state.k + 1, res=residual)
+        # gate on liveness: run_chunked re-steps the frozen state until the
+        # chunk boundary, which would duplicate the final verbose line
+        live = (
+            ~_power_done(state, tol, maxiter)
+            if maxiter is not None else True
+        )
+        jax.lax.cond(
+            live,
+            lambda k, res: jax.debug.print("{k:3d}\t{res:.2e}", k=k, res=res),
+            lambda k, res: None,
+            state.k + 1, residual,
+        )
     return PowerState(
         x=x,
         theta=theta,
@@ -81,7 +95,7 @@ def _power_done(state: PowerState, tol, maxiter: int):
 @partial(jax.jit, static_argnames=("maxiter", "verbose"))
 def _power_solve(op, x0, tol, maxiter, verbose):
     final = run_chunked(
-        lambda s: _power_step(op, s, verbose),
+        lambda s: _power_step(op, s, verbose, tol, maxiter),
         lambda s: _power_done(s, tol, maxiter),
         _power_init(x0, maxiter),
     )

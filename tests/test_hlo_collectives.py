@@ -1,0 +1,122 @@
+"""Collective-audit tests: the compiled hot path uses the *intended*
+collectives (VERDICT r1: "assert ppermute/psum, not accidental all-gathers").
+
+The CG iteration on a row-sharded stencil must lower to:
+  * halo exchange  -> collective-permute (2 for the explicit shard_map path:
+    one per neighbor direction)
+  * dot products   -> all-reduce (psum)
+  * and NO all-gather / all-to-all — an all-gather of a length-n vector on
+    the hot path would turn the O(halo) ICI traffic into O(n).
+
+The unstructured ELL path is the one place an all-gather IS the design
+(RowShardedELLOperator docstring), and its adjoint-free rmv must use
+reduce-scatter (psum_scatter), not an all-reduce of the full output.
+"""
+
+import re
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from iterativesolvers_tpu.operators.preconditioners import IdentityPreconditioner
+from iterativesolvers_tpu.parallel.sharded import (
+    HaloDIAOperator,
+    RowShardedELLOperator,
+    row_mesh,
+    shard_dia,
+    shard_vector,
+)
+from iterativesolvers_tpu.solvers.cg import _cg_init, _cg_step
+from iterativesolvers_tpu.utils.fixtures import laplace_dia, random_sparse
+
+N_DEV = 8
+
+
+def _collective_counts(txt: str) -> dict:
+    """Count distinct collective *instructions* in optimized HLO (a start/done
+    pair or a fused computation can mention the op several times; count
+    result-assignment lines only)."""
+    counts = {}
+    for kind in ("collective-permute", "all-reduce", "all-gather",
+                 "reduce-scatter", "all-to-all"):
+        # lines like "%x = ... collective-permute(" or "... all-reduce-start("
+        counts[kind] = len(
+            re.findall(r"=\s[^=]*\b" + kind + r"(?:-start)?\(", txt)
+        )
+    return counts
+
+
+def _compiled_cg_step_text(op, n, mesh):
+    b = shard_vector(jnp.ones((n,), jnp.float32), mesh)
+    x0 = shard_vector(jnp.zeros((n,), jnp.float32), mesh)
+    Pl = IdentityPreconditioner()
+    state = _cg_init(
+        op, b, x0,
+        jnp.asarray(1e-6, jnp.float32), jnp.asarray(0.0, jnp.float32),
+        10, True,
+    )
+    step = jax.jit(lambda s: _cg_step(op, Pl, s))
+    return step.lower(state).compile().as_text()
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    assert len(jax.devices()) >= N_DEV
+    return row_mesh(N_DEV)
+
+
+def test_halo_cg_step_collectives(mesh):
+    """Explicit shard_map path: exactly 2 ppermutes (one per neighbor),
+    psum all-reduces for the dots, and no all-gather/all-to-all."""
+    A = laplace_dia(16, 3, dtype=np.float32)
+    op = HaloDIAOperator(A, mesh)
+    txt = _compiled_cg_step_text(op, A.shape[0], mesh)
+    c = _collective_counts(txt)
+    assert c["collective-permute"] == 2, c
+    assert c["all-reduce"] >= 2, c  # <u,c> and |r| at least
+    assert c["all-gather"] == 0, c
+    assert c["all-to-all"] == 0, c
+
+
+def test_gspmd_cg_step_collectives(mesh):
+    """GSPMD auto-partitioned DIA path: XLA inserts collective-permutes for
+    the shifted halo reads (one set per diagonal) — still no all-gather of
+    the length-n vector."""
+    A = laplace_dia(16, 3, dtype=np.float32)
+    As = shard_dia(A, mesh)
+    txt = _compiled_cg_step_text(As, A.shape[0], mesh)
+    c = _collective_counts(txt)
+    assert c["collective-permute"] >= 2, c
+    assert c["all-reduce"] >= 2, c
+    assert c["all-gather"] == 0, c
+    assert c["all-to-all"] == 0, c
+
+
+def test_ell_rmv_uses_reduce_scatter(mesh):
+    """Adjoint-free RowShardedELLOperator.rmv reduces partial outputs with a
+    reduce-scatter ring, not a full all-reduce + slice."""
+    m, n = 16 * N_DEV, 8 * N_DEV
+    ell = random_sparse(m, n, 0.2, seed=3, dtype=np.float32).to_ell()
+    op = RowShardedELLOperator(ell, mesh)
+    y = shard_vector(jnp.ones((m,), jnp.float32), mesh)
+    f = jax.jit(op.rmv)
+    txt = f.lower(y).compile().as_text()
+    c = _collective_counts(txt)
+    assert c["reduce-scatter"] >= 1, c
+    assert c["all-reduce"] == 0, c
+
+
+def test_ell_mv_allgather_is_the_design(mesh):
+    """RowShardedELLOperator.mv all-gathers x once (documented design for
+    unstructured sparsity) and does nothing else over the wire."""
+    m, n = 16 * N_DEV, 8 * N_DEV
+    ell = random_sparse(m, n, 0.2, seed=3, dtype=np.float32).to_ell()
+    op = RowShardedELLOperator(ell, mesh)
+    x = shard_vector(jnp.ones((n,), jnp.float32), mesh)
+    f = jax.jit(op.mv)
+    txt = f.lower(x).compile().as_text()
+    c = _collective_counts(txt)
+    assert c["all-gather"] == 1, c
+    assert c["collective-permute"] == 0, c

@@ -141,3 +141,17 @@ def test_baseline_config4_lsqr_lsmr_lobpcg(rng):
         for i in range(1, 5) for j in range(1, 5)
     )[:4]
     np.testing.assert_allclose(np.asarray(res.lam), lam_exact, rtol=1e-4)
+
+
+def test_lsqr_f32_defaults_reach_user_tolerance(rng):
+    """Default atol/btol scale as sqrt(eps(T)) (src/lsqr.jl:91-92): a float32
+    solve must terminate via the user-tolerance codes istop 1-2, not the
+    machine-precision guards 4-7 (ADVICE r1)."""
+    n = 40
+    A = (np.eye(n) + 0.1 * rng.standard_normal((n, n))).astype(np.float32)
+    b = rng.random(n).astype(np.float32)
+    x, h = lsqr(A, b, log=True)
+    assert h["istop"] in (1, 2)
+    assert h.isconverged
+    # and the default tolerances scale with the dtype
+    assert abs(h["atol"] - np.sqrt(np.finfo(np.float32).eps)) < 1e-6

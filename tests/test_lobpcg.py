@@ -130,3 +130,92 @@ def test_blocksize_guard(rng):
 
 def test_default_tolerance():
     assert abs(default_tolerance(np.float64) - np.finfo(np.float64).eps ** 0.3) < 1e-12
+
+
+def _herm(rng, n, dtype):
+    """Hermitian positive-definite complex matrix."""
+    A = rng.standard_normal((n, n)) + 1j * rng.standard_normal((n, n))
+    A = (A + A.conj().T) / 2 + n * np.eye(n)
+    return A.astype(dtype)
+
+
+def _cstart(rng, n, k, dtype):
+    return (rng.standard_normal((n, k)) + 1j * rng.standard_normal((n, k))).astype(dtype)
+
+
+@pytest.mark.parametrize("largest", [False, True])
+@pytest.mark.parametrize("dtype", [np.complex64, np.complex128])
+def test_complex_standard(rng, largest, dtype):
+    """Complex-eltype standard eigenproblem (test/lobpcg.jl:36 runs every
+    block over Float32/64 and ComplexF32/64)."""
+    n, k = 50, 4
+    A = _herm(rng, n, dtype)
+    w_ref = np.linalg.eigvalsh(A)
+    r = lobpcg(A, _cstart(rng, n, k, dtype), largest=largest, maxiter=400)
+    assert r.converged
+    lam = np.sort(np.asarray(r.lam).real)
+    expect = np.sort(w_ref[-k:] if largest else w_ref[:k])
+    tol = 5e-3 if dtype == np.complex64 else 1e-7
+    np.testing.assert_allclose(lam, expect, rtol=tol, atol=tol)
+    X = np.asarray(r.X)
+    R = A @ X - X * np.asarray(r.lam)[None, :]
+    assert np.linalg.norm(R) < n * r.tolerance
+
+
+@pytest.mark.parametrize("dtype", [np.complex64, np.complex128])
+def test_complex_generalized_b_orthogonality(rng, dtype):
+    """Complex generalized problem + B-orthogonality of the eigenvectors
+    (test/lobpcg.jl:213-246 over complex eltypes)."""
+    n, k = 40, 3
+    A = _herm(rng, n, dtype)
+    d = rng.random(n) + 1.0
+    B = np.diag(d).astype(dtype)
+    from scipy.linalg import eigh as scipy_eigh
+
+    w_ref = scipy_eigh(
+        A.astype(np.complex128), B.astype(np.complex128), eigvals_only=True
+    )
+    tol = None if dtype == np.complex64 else 1e-9
+    r = lobpcg(A, _cstart(rng, n, k, dtype), B=B, largest=False, tol=tol,
+               maxiter=500)
+    assert r.converged
+    rtol = 5e-3 if dtype == np.complex64 else 1e-6
+    np.testing.assert_allclose(
+        np.sort(np.asarray(r.lam).real), w_ref[:k], rtol=rtol, atol=rtol
+    )
+    X = np.asarray(r.X)
+    atol = 5e-3 if dtype == np.complex64 else 1e-6
+    np.testing.assert_allclose(X.conj().T @ B @ X, np.eye(k), atol=atol)
+
+
+@pytest.mark.parametrize("dtype", [np.complex64, np.complex128])
+def test_complex_constraint_orthogonality(rng, dtype):
+    """Deflation constraints stay honored for complex eltypes
+    (test/lobpcg.jl:303,320)."""
+    n, k = 48, 2
+    A = _herm(rng, n, dtype)
+    w_ref, V_ref = np.linalg.eigh(A)
+    C = V_ref[:, :2].astype(dtype)  # deflate the two smallest
+    r = lobpcg(A, _cstart(rng, n, k, dtype), C=C, largest=False, maxiter=400)
+    assert r.converged
+    rtol = 5e-3 if dtype == np.complex64 else 1e-6
+    np.testing.assert_allclose(
+        np.sort(np.asarray(r.lam).real), w_ref[2 : 2 + k], rtol=rtol
+    )
+    X = np.asarray(r.X)
+    atol = 1e-4 if dtype == np.complex64 else 1e-8
+    assert np.abs(C.conj().T @ X).max() < atol
+
+
+def test_history_per_batch_traces(rng):
+    """nev > blocksize keeps one trace + iteration count per batch
+    (src/lobpcg.jl:71-88); iters totals the batches."""
+    n, bs, nev = 60, 2, 6
+    A = _sym(rng, n)
+    X0 = rng.random((n, bs))
+    r = lobpcg(A, X0, nev=nev, largest=False, tol=1e-8, maxiter=500, log=True)
+    assert len(r.batch_iterations) == 3
+    assert r.iterations == sum(r.batch_iterations)
+    assert r.history.iters == r.iterations
+    assert r.history["batch_iters"] == r.batch_iterations
+    assert len(r.history["resnorm"]) == r.iterations

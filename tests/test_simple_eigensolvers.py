@@ -67,3 +67,14 @@ def test_powm_iterator(rng):
     residuals = [float(r) for r in it]
     assert residuals[-1] <= 1e-8
     assert abs(float(jnp.real(it.state.theta)) - 10.0) < 1e-5
+
+
+def test_powm_maxiter_log_length(rng):
+    """done is ``k > maxiter`` so maxiter+1 residuals are produced; the logged
+    series must cover every executed iteration (ADVICE r1)."""
+    n = 20
+    A, _, _ = _sym_with_gap(rng, n)
+    x0 = rng.random(n)
+    x0 /= np.linalg.norm(x0)
+    lam, x, h = powm(A, x0=x0, tol=0.0, maxiter=5, log=True)
+    assert h.iters == len(h["resnorm"]) == 6  # 5 + 1, matching the reference

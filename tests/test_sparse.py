@@ -285,3 +285,14 @@ def test_advection_diffusion_stencil_matches_dia(rng):
     # adjoint of the nonsymmetric operator
     M = np.asarray(A.to_dense())
     np.testing.assert_allclose(np.asarray(St.rmv(jnp.asarray(x))), M.T @ x, rtol=1e-12)
+
+
+def test_from_coo_rejects_out_of_range_indices():
+    # hostile/malformed COO input (e.g. a bad MatrixMarket file) must raise,
+    # not corrupt memory in the native counting sort (ADVICE r1)
+    with pytest.raises(ValueError):
+        CSRMatrix.from_coo([0, 5], [0, 0], [1.0, 2.0], (3, 3))
+    with pytest.raises(ValueError):
+        CSRMatrix.from_coo([0, 1], [0, 7], [1.0, 2.0], (3, 3))
+    with pytest.raises(ValueError):
+        CSRMatrix.from_coo([-1], [0], [1.0], (3, 3))

@@ -220,3 +220,30 @@ def test_baseline_config3_stationary_and_chebyshev(rng):
     # 20 SOR sweeps reduce the residual (fixed-sweep contract, no conv test)
     xs = np.asarray(its.sor(A, b, 1.5, maxiter=200))
     assert np.linalg.norm(M @ xs - b) < np.linalg.norm(b)
+
+
+def _dd_complex(rng, n, dtype):
+    """Diagonally dominant Hermitian complex matrix."""
+    A = rng.standard_normal((n, n)) + 1j * rng.standard_normal((n, n))
+    A = A + A.conj().T
+    A[np.diag_indices(n)] = 2.0 * np.abs(A).sum(axis=1) + 1.0
+    return A.astype(dtype)
+
+
+@pytest.mark.parametrize("dtype", [np.complex64, np.complex128])
+@pytest.mark.parametrize("sparse", [False, True])
+@pytest.mark.parametrize("method", ["jacobi", "gauss_seidel", "sor", "ssor"])
+def test_complex_converges(rng, dtype, sparse, method):
+    """Complex-eltype sweeps (the reference tests stationary methods over
+    ComplexF32/ComplexF64, test/stationary.jl) — exercises the conj paths in
+    the splits and triangular sweeps."""
+    n = 30
+    A = _dd_complex(rng, n, dtype)
+    x_true = (rng.standard_normal(n) + 1j * rng.standard_normal(n)).astype(dtype)
+    b = A @ x_true
+    op = csr_from_dense(A) if sparse else A
+    fn = {"jacobi": jacobi, "gauss_seidel": gauss_seidel, "sor": sor, "ssor": ssor}[method]
+    kw = {"omega": 1.1} if method in ("sor", "ssor") else {}
+    x = fn(op, b, maxiter=300, **kw)
+    tol = 2e-5 if dtype == np.complex64 else 1e-10
+    assert np.linalg.norm(A @ np.asarray(x) - b) / np.linalg.norm(b) < tol

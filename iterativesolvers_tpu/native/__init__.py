@@ -257,3 +257,50 @@ def greedy_coloring(indptr, indices, n: int):
         _ptr(color, _i64p),
     )
     return color, int(nc)
+
+
+def rcm_order(indptr, indices, n: int):
+    """(perm (n,), bandwidth): reverse Cuthill-McKee ordering of a SYMMETRIC
+    sparsity pattern.  ``perm[k]`` is the old index placed at new position k;
+    the returned bandwidth is the permuted pattern's half-bandwidth.  Pass
+    the symmetrized pattern (A + A^T structure) for nonsymmetric matrices."""
+    indptr = np.ascontiguousarray(indptr, np.int64)
+    indices = np.ascontiguousarray(indices, np.int32)
+    lib = get_lib()
+    perm = np.zeros(n, np.int64)
+    if lib is not None:
+        lib.rcm_order.restype = ctypes.c_int64
+        bw = lib.rcm_order(
+            _ptr(indptr, _i64p), _ptr(indices, _i32p), ctypes.c_int64(n),
+            _ptr(perm, _i64p),
+        )
+        return perm, int(bw)
+    # numpy fallback: plain CM BFS (ascending degree), then reverse
+    deg = np.diff(indptr)
+    visited = np.zeros(n, bool)
+    order = []
+    for s in np.argsort(deg, kind="stable"):
+        if visited[s]:
+            continue
+        queue = [int(s)]
+        visited[s] = True
+        head = 0
+        while head < len(queue):
+            u = queue[head]
+            head += 1
+            order.append(u)
+            nbrs = [int(v) for v in indices[indptr[u]: indptr[u + 1]]
+                    if v != u and v < n and not visited[v]]
+            nbrs.sort(key=lambda v: deg[v])
+            for v in nbrs:
+                visited[v] = True
+                queue.append(v)
+    perm = np.asarray(order[::-1], np.int64)
+    inv = np.empty(n, np.int64)
+    inv[perm] = np.arange(n)
+    bw = 0
+    for r in range(n):
+        seg = indices[indptr[r]: indptr[r + 1]]
+        if seg.size:
+            bw = max(bw, int(np.abs(inv[r] - inv[seg]).max()))
+    return perm, bw

@@ -224,6 +224,113 @@ int64_t extract_diagonal(
 extern "C" {
 
 // ---------------------------------------------------------------------------
+// Reverse Cuthill-McKee ordering of a SYMMETRIC sparsity pattern (caller
+// symmetrizes nonsymmetric patterns, like greedy_coloring below).  BFS from
+// a pseudo-peripheral vertex of each component, visiting neighbors in
+// ascending-degree order, then reverse — the classic bandwidth-reducing
+// permutation that exposes banded/DIA structure for the TPU SpMV formats.
+// perm_out[k] = old index of the vertex placed at new position k.
+// Returns the half-bandwidth of the permuted pattern (max |i - j|).
+// ---------------------------------------------------------------------------
+int64_t rcm_order(
+    const int64_t* indptr, const int32_t* indices, int64_t n,
+    int64_t* perm_out /* (n,) */)
+{
+    std::vector<int64_t> deg(n);
+    for (int64_t r = 0; r < n; ++r) deg[r] = indptr[r + 1] - indptr[r];
+
+    std::vector<int8_t> visited(n, 0);
+    std::vector<int64_t> order;
+    order.reserve(n);
+    std::vector<int64_t> frontier, next;
+
+    auto bfs_layers = [&](int64_t start, std::vector<int8_t>& seen,
+                          std::vector<int64_t>& last_layer) -> int64_t {
+        // BFS returning depth; fills last_layer with the final level
+        std::fill(seen.begin(), seen.end(), 0);
+        frontier.assign(1, start);
+        seen[start] = 1;
+        int64_t depth = 0;
+        last_layer = frontier;
+        while (!frontier.empty()) {
+            next.clear();
+            for (int64_t u : frontier) {
+                for (int64_t p = indptr[u]; p < indptr[u + 1]; ++p) {
+                    int64_t v = indices[p];
+                    if (v == u || v >= n || seen[v]) continue;
+                    seen[v] = 1;
+                    next.push_back(v);
+                }
+            }
+            if (next.empty()) break;
+            last_layer = next;
+            frontier.swap(next);
+            ++depth;
+        }
+        return depth;
+    };
+
+    std::vector<int8_t> seen(n, 0);
+    std::vector<int64_t> last_layer;
+
+    for (int64_t s = 0; s < n; ++s) {
+        if (visited[s]) continue;
+        // pseudo-peripheral start: a few rounds of "BFS to the farthest,
+        // lowest-degree vertex of the last layer"
+        int64_t start = s;
+        int64_t depth = bfs_layers(start, seen, last_layer);
+        for (int it = 0; it < 4; ++it) {
+            int64_t best = last_layer[0];
+            for (int64_t v : last_layer)
+                if (deg[v] < deg[best]) best = v;
+            int64_t d2 = bfs_layers(best, seen, last_layer);
+            if (d2 <= depth) { start = best; break; }
+            depth = d2;
+            start = best;
+        }
+        // Cuthill-McKee BFS with ascending-degree neighbor order
+        std::vector<int64_t> q;
+        q.push_back(start);
+        visited[start] = 1;
+        size_t head = 0;
+        while (head < q.size()) {
+            int64_t u = q[head++];
+            order.push_back(u);
+            int64_t lo = indptr[u], hi = indptr[u + 1];
+            std::vector<int64_t> nbrs;
+            nbrs.reserve(hi - lo);
+            for (int64_t p = lo; p < hi; ++p) {
+                int64_t v = indices[p];
+                if (v == u || v >= n || visited[v]) continue;
+                visited[v] = 1;
+                nbrs.push_back(v);
+            }
+            std::sort(nbrs.begin(), nbrs.end(),
+                      [&](int64_t a, int64_t b) { return deg[a] < deg[b]; });
+            for (int64_t v : nbrs) q.push_back(v);
+        }
+    }
+    // reverse (the "R" in RCM)
+    std::reverse(order.begin(), order.end());
+    for (int64_t k = 0; k < n; ++k) perm_out[k] = order[k];
+
+    // bandwidth of the permuted pattern
+    std::vector<int64_t> inv(n);
+    for (int64_t k = 0; k < n; ++k) inv[order[k]] = k;
+    int64_t bw = 0;
+    for (int64_t r = 0; r < n; ++r) {
+        for (int64_t p = indptr[r]; p < indptr[r + 1]; ++p) {
+            int64_t j = indices[p];
+            if (j >= n) continue;
+            int64_t d = inv[r] - inv[j];
+            if (d < 0) d = -d;
+            if (d > bw) bw = d;
+        }
+    }
+    return bw;
+}
+
+// ---------------------------------------------------------------------------
 // Greedy graph coloring of the (symmetrized) sparsity pattern — rows with
 // the same color share no edge, so a Gauss-Seidel/SOR sweep can update each
 // color class fully in parallel (the multicolor alternative to level

@@ -236,6 +236,133 @@ class CSRMatrix(LinearOperator):
         present[rows[mask]] = True
         return d, present
 
+    # -- reordering / format selection ---------------------------------------
+    def permute(self, perm) -> "CSRMatrix":
+        """Symmetric permutation ``B = A[perm, :][:, perm]`` (square only):
+        ``B[i, j] = A[perm[i], perm[j]]``.  To solve ``A x = b`` with the
+        permuted operator, solve ``B y = b[perm]`` and scatter back
+        ``x[perm] = y``."""
+        n, m = self._shape
+        if n != m:
+            raise ValueError("symmetric permutation requires a square matrix")
+        perm = np.asarray(perm, np.int64)
+        inv = np.empty(n, np.int64)
+        inv[perm] = np.arange(n)
+        rows = inv[self._host("row_ids").astype(np.int64)]
+        cols = inv[self._host("indices").astype(np.int64)]
+        return CSRMatrix.from_coo(rows, cols, self._host("data"), self._shape)
+
+    def rcm(self):
+        """(perm, bandwidth): reverse Cuthill-McKee ordering of the
+        symmetrized pattern — the bandwidth-reducing preprocessing that
+        exposes banded/DIA structure for the gather-free TPU SpMV formats."""
+        from ..native import rcm_order
+
+        n = self._shape[0]
+        if n != self._shape[1]:
+            raise ValueError("RCM requires a square matrix")
+        # symmetrize the pattern (values irrelevant)
+        r = self._host("row_ids").astype(np.int64)
+        c = self._host("indices").astype(np.int64)
+        rs = np.concatenate([r, c])
+        cs = np.concatenate([c, r])
+        sym = CSRMatrix.from_coo(rs, cs, np.ones(rs.size, np.float64), self._shape)
+        return rcm_order(sym._host("indptr"), sym._host("indices"), n)
+
+    def structure_stats(self) -> dict:
+        """Host-side structure metrics feeding :func:`auto_format`."""
+        indptr = self._host("indptr").astype(np.int64)
+        counts = np.diff(indptr)
+        rows = self._host("row_ids").astype(np.int64)
+        cols = self._host("indices").astype(np.int64)
+        offsets = cols - rows
+        ndiag = int(np.unique(offsets).size)
+        bw = int(np.abs(offsets).max()) if offsets.size else 0
+        return {
+            "n": self._shape[0],
+            "nnz": int(rows.size),
+            "max_degree": int(counts.max()) if counts.size else 0,
+            "mean_degree": float(counts.mean()) if counts.size else 0.0,
+            "ndiag": ndiag,
+            "bandwidth": bw,
+        }
+
+    def auto_format(self, *, tail_cost: float = 4.0, try_rcm: bool = True):
+        """Pick the fastest TPU SpMV format by cost model (VERDICT r1 #5).
+
+        Modeled per-SpMV cost in streamed/gathered elements (the TPU SpMV
+        is gather-bound at ~7 ns/gathered element for random patterns and
+        bandwidth-bound for streamed ones — memory/tpu pitfalls #9):
+
+          DIA  : ndiag * n           streamed   (weight 1)
+          ELL  : n * maxdeg          gathered   (weight ``tail_cost``..)
+          HYB  : n * w + tail(w)     gathered
+          BSR  : nblk * bs^2         streamed + one small gather per block
+
+        Square matrices optionally test an RCM reordering first: if it
+        shrinks the diagonal count enough that DIA wins, returns the
+        permuted operator.  Returns ``(op, perm)`` where ``perm`` is None
+        when no reordering was applied."""
+        stats = self.structure_stats()
+        n, nnz = stats["n"], stats["nnz"]
+        square = self._shape[0] == self._shape[1]
+
+        GATHER = tail_cost  # relative cost of a gathered vs streamed element
+
+        candidates = {}  # name -> (cost, builder)
+        if stats["ndiag"] > 0:
+            candidates["dia"] = (
+                float(stats["ndiag"]) * n,
+                lambda: (self.to_dia(), None),
+            )
+        candidates["ell"] = (
+            GATHER * float(max(stats["max_degree"], 1)) * n,
+            lambda: (self.to_ell(), None),
+        )
+        # HYB cost: evaluate the same model to_hyb minimizes
+        indptr = self._host("indptr").astype(np.int64)
+        counts = np.diff(indptr)
+        if counts.size:
+            cands = np.unique(np.concatenate([[1], counts[counts > 0]]))
+            hyb_cost = min(
+                GATHER * (n * int(w) + float(np.maximum(counts - w, 0).sum()))
+                for w in cands
+            )
+            candidates["hyb"] = (hyb_cost, lambda: (self.to_hyb(), None))
+        # BSR: estimate block fill for a few block sizes
+        rows = self._host("row_ids").astype(np.int64)
+        cols = self._host("indices").astype(np.int64)
+        for bs in (2, 4, 8):
+            if self._shape[0] % bs or self._shape[1] % bs:
+                continue
+            nblk = np.unique(
+                (rows // bs) * (self._shape[1] // bs) + cols // bs
+            ).size
+            # streamed block data + one gathered x block per block
+            cost = float(nblk) * bs * bs + GATHER * float(nblk) * bs
+            candidates[f"bsr{bs}"] = (
+                cost,
+                (lambda b: (lambda: (BSRMatrix.from_csr(self, b), None)))(bs),
+            )
+        best_name = min(candidates, key=lambda k: candidates[k][0])
+
+        if try_rcm and square and stats["ndiag"] > 48:
+            perm, bw_after = self.rcm()
+            # after RCM the matrix is banded with <= 2*bw+1 diagonals; only
+            # worth it if the banded DIA beats the best unpermuted format
+            ndiag_bound = 2 * bw_after + 1
+            # real diagonal count can be far below the bound; compute it
+            inv = np.empty(n, np.int64)
+            inv[perm] = np.arange(n)
+            ndiag_rcm = int(np.unique(inv[cols] - inv[rows]).size)
+            dia_rcm_cost = float(ndiag_rcm) * n
+            if dia_rcm_cost < candidates[best_name][0]:
+                B = self.permute(perm)
+                return B.to_dia(), perm
+
+        op, _ = candidates[best_name][1]()
+        return op, None
+
     def tree_flatten(self):
         return (self.data, self.indices, self.indptr, self.row_ids), self._shape
 

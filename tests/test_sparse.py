@@ -296,3 +296,72 @@ def test_from_coo_rejects_out_of_range_indices():
         CSRMatrix.from_coo([0, 1], [0, 7], [1.0, 2.0], (3, 3))
     with pytest.raises(ValueError):
         CSRMatrix.from_coo([-1], [0], [1.0], (3, 3))
+
+
+def test_rcm_recovers_banded_structure(rng):
+    """RCM on a randomly shuffled pentadiagonal matrix recovers bandwidth 2
+    (the bandwidth-reducing preprocessing behind auto_format, VERDICT r1)."""
+    n = 200
+    band = np.zeros((n, n))
+    for off in (-2, -1, 0, 1, 2):
+        idx = np.arange(max(0, -off), min(n, n - off))
+        band[idx, idx + off] = rng.random(idx.size) + (3.0 if off == 0 else 0.0)
+    shuf = rng.permutation(n)
+    A = csr_from_dense(band[np.ix_(shuf, shuf)])
+    assert A.structure_stats()["bandwidth"] > 10
+    perm, bw = A.rcm()
+    assert bw <= 4  # RCM is heuristic; pentadiagonal should come back tiny
+    B = A.permute(perm)
+    assert B.structure_stats()["bandwidth"] == bw
+    np.testing.assert_allclose(
+        np.asarray(B.to_dense()),
+        np.asarray(A.to_dense())[np.ix_(perm, perm)],
+    )
+
+
+def test_auto_format_picks_by_structure(rng):
+    from iterativesolvers_tpu.operators.sparse import (
+        BSRMatrix, DIAMatrix, HYBMatrix, ELLMatrix,
+    )
+    from iterativesolvers_tpu.utils.fixtures import laplace_dia, random_sparse
+
+    # stencil -> DIA, no reordering
+    op, p = laplace_dia(12, 2).to_csr().auto_format()
+    assert isinstance(op, DIAMatrix) and p is None
+    # random sparsity -> gather format (ELL/HYB), no reordering
+    op2, p2 = random_sparse(256, 256, 0.02, seed=1).auto_format()
+    assert isinstance(op2, (HYBMatrix, ELLMatrix)) and p2 is None
+    # shuffled banded -> RCM + DIA, and the reordered solve is exact
+    n = 200
+    band = np.zeros((n, n))
+    for off in (-1, 0, 1):
+        idx = np.arange(max(0, -off), min(n, n - off))
+        band[idx, idx + off] = rng.random(idx.size) + (3.0 if off == 0 else 0.0)
+    shuf = rng.permutation(n)
+    dense = band[np.ix_(shuf, shuf)]
+    A = csr_from_dense(dense)
+    op3, perm = A.auto_format()
+    assert isinstance(op3, DIAMatrix) and perm is not None
+    b = rng.random(n)
+    y = its.gmres(op3, b[perm], reltol=1e-12, maxiter=600)
+    x = np.empty(n)
+    x[perm] = np.asarray(y)
+    assert np.linalg.norm(dense @ x - b) / np.linalg.norm(b) < 1e-9
+
+
+def test_auto_format_block_structure(rng):
+    """Block-structured matrices pick BSR."""
+    from iterativesolvers_tpu.operators.sparse import BSRMatrix
+
+    n, bs = 128, 4
+    nb = n // bs
+    dense = np.zeros((n, n))
+    for bi in range(nb):
+        for bj in (bi - 1, bi, bi + 1):
+            if 0 <= bj < nb:
+                dense[bi*bs:(bi+1)*bs, bj*bs:(bj+1)*bs] = rng.random((bs, bs)) + 0.1
+    A = csr_from_dense(dense)
+    op, p = A.auto_format(try_rcm=False)
+    # dense blocks on a block-tridiagonal: DIA would stream 3*bs diagonals
+    # (similar cost) — accept either structured pick, but never a gather fmt
+    assert isinstance(op, (BSRMatrix,)) or type(op).__name__ == "DIAMatrix"

@@ -109,17 +109,20 @@ def main():
             return jax.lax.fori_loop(
                 0, k, lambda i, x: apply_fn(x) * np.float32(1 / 7.0), x
             )
+        # warm BOTH loop lengths before timing (each k is its own executable)
         fence(loop(x, K))
-        best = float("inf")
+        fence(loop(x, K // 4))
+        best_l = best_s = float("inf")
         for r in range(reps):
             xx = x + np.float32(1e-6 * (r + 1))
             t0 = time.perf_counter()
             fence(loop(xx, K))
-            dt_l = time.perf_counter() - t0
+            best_l = min(best_l, time.perf_counter() - t0)
+            xx = x + np.float32(1e-6 * (r + 1) + 1e-7)
             t0 = time.perf_counter()
             fence(loop(xx, K // 4))
-            dt_s = time.perf_counter() - t0
-            best = min(best, (dt_l - dt_s) / (K - K // 4))
+            best_s = min(best_s, time.perf_counter() - t0)
+        best = (best_l - best_s) / (K - K // 4)
         print(f"{label}: {best*1e6:.1f} us/apply", flush=True)
         return best
 

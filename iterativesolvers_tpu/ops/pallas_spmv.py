@@ -13,8 +13,9 @@ Layout notes (see /opt/skills/guides/pallas_guide.md):
   * the x window lives in a VMEM scratch filled by an explicit async copy
     (overlapping windows cannot be expressed as BlockSpecs);
   * diagonal blocks use plain (block,) BlockSpecs — contiguous streams;
-  * per-block dot partials land in a (grid, 1) SMEM-backed output and are
-    summed on the host side of the call (one tiny reduction).
+  * the dot partial accumulates across the (sequential) grid into a single
+    (1, 1) SMEM-backed output — Mosaic requires SMEM output blocks to equal
+    the full array shape, so per-block partials are summed in place.
 """
 
 from __future__ import annotations
@@ -32,9 +33,12 @@ __all__ = ["dia_spmv", "dia_spmv_dot"]
 
 def _plan(n, offsets, block_rows):
     halo = max((abs(o) for o in offsets), default=0)
-    block = int(block_rows)
-    # window must be addressable and the halo must fit the window layout
-    block = max(block, 1024)
+    # Mosaic tiles 1-D HBM memrefs in units of 1024 lanes: every DMA slice
+    # offset AND size must be 1024-aligned, so the halo is rounded up and
+    # the block size kept a multiple of 1024.
+    halo = -(-halo // 1024) * 1024 if halo else 0
+    block = max(int(block_rows), 1024)
+    block = -(-block // 1024) * 1024
     nb = -(-n // block)
     npad = nb * block
     return halo, block, nb, npad
@@ -73,7 +77,17 @@ def _spmv_kernel(offsets, halo, block, nd, with_dot, *refs):
         acc = acc + drefs[k][:] * win[pl.ds(halo + offsets[k], block)]
     y_ref[:] = acc
     if with_dot:
-        part_ref[0, 0] = jnp.sum(u_ref[:] * acc)
+        # TPU grid steps run sequentially and the (1,1) SMEM output block maps
+        # every step to the same slot, so accumulate across steps in place.
+        part = jnp.sum(u_ref[:] * acc)
+
+        @pl.when(i == 0)
+        def _():
+            part_ref[0, 0] = part
+
+        @pl.when(i > 0)
+        def _():
+            part_ref[0, 0] = part_ref[0, 0] + part
 
 
 def _call(diags, offsets, x, u=None, *, block_rows=32768, interpret=False):
@@ -95,9 +109,9 @@ def _call(diags, offsets, x, u=None, *, block_rows=32768, interpret=False):
     out_shape = [jax.ShapeDtypeStruct((npad,), x.dtype)]
     out_specs = [pl.BlockSpec((block,), lambda i: (i,))]
     if with_dot:
-        out_shape.append(jax.ShapeDtypeStruct((nb, 1), x.dtype))
+        out_shape.append(jax.ShapeDtypeStruct((1, 1), x.dtype))
         out_specs.append(
-            pl.BlockSpec((1, 1), lambda i: (i, 0), memory_space=pltpu.SMEM)
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM)
         )
 
     kernel = partial(_spmv_kernel, tuple(offsets), halo, block, nd, with_dot)
@@ -115,7 +129,7 @@ def _call(diags, offsets, x, u=None, *, block_rows=32768, interpret=False):
     )(*inputs)
     if with_dot:
         y, parts = outs
-        return y[:n], jnp.sum(parts)
+        return y[:n], parts[0, 0]
     return outs[:n]
 
 

@@ -1,5 +1,8 @@
-"""Pallas DIA SpMV kernel tests (interpret mode on CPU; compiled path is
-exercised on real TPU by bench/verify runs)."""
+"""Pallas DIA SpMV kernel tests (interpret mode on CPU).
+
+The compiled path is exercised on real TPU by ``benchmarks/tpu_spmv_bench.py``
+(results in BENCH_NOTES.md) and by ``bench.py`` when the Pallas path wins the
+operator dispatch."""
 
 import jax.numpy as jnp
 import numpy as np
@@ -38,3 +41,17 @@ def test_spmv_dot_fused(rng):
     y_ref = A.mv(x)
     np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref), rtol=1e-5)
     assert abs(float(d) - float(jnp.sum(u * y_ref))) < 1e-3
+
+
+def test_spmv_dot_multiblock_accumulation(rng):
+    # nb > 1 exercises the sequential-grid accumulate into the (1,1) SMEM slot
+    A = laplace_dia(16, 3, dtype=np.float32)  # n = 4096, 4 blocks of 1024
+    n = A.shape[0]
+    x = jnp.asarray(rng.random(n).astype(np.float32))
+    u = jnp.asarray(rng.random(n).astype(np.float32))
+    y, d = dia_spmv_dot(A.diags, A.offsets, x, u, block_rows=1024, interpret=True)
+    y_ref = A.mv(x)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref), rtol=1e-4,
+                               atol=1e-4)
+    ref = float(jnp.sum(u * y_ref))
+    assert abs(float(d) - ref) < 1e-2 * max(1.0, abs(ref))

@@ -47,6 +47,13 @@ class LinearOperator:
             f"{type(self).__name__} does not provide an adjoint matvec"
         )
 
+    def mv_dot(self, x):
+        """(A x, <x, A x>) — the SpMV + first CG reduction (src/cg.jl:54-55)
+        as one bundle so operators with a fused kernel (StencilOperator on
+        TPU) can produce both in a single HBM pass."""
+        y = self.mv(x)
+        return y, jnp.sum(jnp.conj(x) * y)
+
     # Conveniences mirroring the Julia surface.
     def __matmul__(self, x):
         return self.mv(x)

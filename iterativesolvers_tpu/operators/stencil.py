@@ -18,6 +18,7 @@ is tested element-wise.
 
 from __future__ import annotations
 
+from functools import lru_cache
 from typing import Tuple
 
 import jax
@@ -27,6 +28,13 @@ import numpy as np
 from .linear_operator import LinearOperator
 
 __all__ = ["StencilOperator", "laplacian", "advection_diffusion_stencil"]
+
+
+@lru_cache(maxsize=64)
+def _cached_plan(n, terms, conj):
+    from ..ops.pallas_stencil import stencil_plan
+
+    return stencil_plan(n, terms, conj=conj)
 
 
 @jax.tree_util.register_pytree_node_class
@@ -81,11 +89,48 @@ class StencilOperator(LinearOperator):
             y = y + jnp.where(mask, c * shifted, 0)
         return y
 
+    # --- Pallas fast path (TPU): one windowed HBM pass instead of one
+    #     shifted read of x per term; see ops/pallas_stencil.py ---
+
+    def _pallas_plan(self, x, conj):
+        from ..ops.pallas_stencil import pallas_is_available
+
+        if (x.ndim != 1 or jnp.iscomplexobj(x)
+                or x.dtype not in (jnp.float32, jnp.bfloat16)
+                or not pallas_is_available()):
+            return None
+        return _cached_plan(self.n, self.terms, conj)
+
+    def _pallas_apply(self, plan, x, conj, with_dot=False):
+        from ..ops.pallas_stencil import stencil_apply
+
+        coeffs = [jnp.conj(c) if conj else c for c in self.coeffs]
+        return stencil_apply(
+            plan,
+            jnp.conj(self.center) if conj else self.center,
+            [coeffs[i] for i in plan.inner_idx],
+            [coeffs[i] for i in plan.outer_idx],
+            x,
+            with_dot=with_dot,
+        )
+
     def mv(self, x):
+        plan = self._pallas_plan(x, conj=False)
+        if plan is not None:
+            return self._pallas_apply(plan, x, conj=False)
         return self._apply(x, conj=False)
 
     def rmv(self, x):
+        plan = self._pallas_plan(x, conj=True)
+        if plan is not None:
+            return self._pallas_apply(plan, x, conj=True)
         return self._apply(x, conj=True)
+
+    def mv_dot(self, x):
+        plan = self._pallas_plan(x, conj=False)
+        if plan is not None:
+            return self._pallas_apply(plan, x, conj=False, with_dot=True)
+        return super().mv_dot(x)
 
     def to_dia(self):
         """Materialize as DIAMatrix (for tests / interop)."""

@@ -70,8 +70,10 @@ def _cg_step(op, Pl, state: CGState, verbose: bool = False, maxiter=None) -> CGS
     rho = vdot(c, state.r)
     beta = rho / state.rho
     u = c + beta * state.u
-    c = op.mv(u)
-    alpha = rho / vdot(u, c)
+    # bundled SpMV + <u, Au>: one fused HBM pass for operators with a
+    # Pallas kernel (StencilOperator on TPU); identical math otherwise
+    c, sigma = op.mv_dot(u)
+    alpha = rho / sigma
     x = state.x + alpha * u
     r = state.r - alpha * c
     residual = norm(r)

@@ -1,6 +1,7 @@
-"""Benchmark: CG on a large 3-D Laplacian — SpMV throughput vs HBM roofline.
+"""Benchmark: CG and GMRES(20) on a large 3-D Laplacian — SpMV throughput
+vs HBM roofline.
 
-Prints ONE JSON line:
+Prints one JSON line per metric (headline CG first):
   {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
 
 The BASELINE target (BASELINE.md) is SpMV throughput > 70% of the HBM
@@ -162,10 +163,71 @@ def main():
             "us_per_iter_dia": round(dt_dia / iters * 1e6, 1),
             "sec_504_iter_solve": round(t_long, 4),
             "frac_hbm_roofline": round(frac_roofline, 4),
-            "measured_bw_gbs": round(measured_bw / 1e9, 1),
+            "triad_differential_gbs": round(measured_bw / 1e9, 1),
             "device": str(jax.devices()[0].device_kind),
+            "note": "roofline denominator is the 819 GB/s datasheet; "
+                    "profiled device-time bandwidth evidence in BENCH_NOTES.md",
         },
-    }))
+    }), flush=True)
+
+    # ---- second metric (BASELINE names both solvers on this workload):
+    # GMRES(20) on the same 216^3 Laplacian, matrix-free operator.  Same
+    # ladder-aligned differential; executed inner iterations are exact.
+    def timed_gmres(maxiter, reps=3):
+        x = its.gmres(St, b, restart=20, reltol=0.0, abstol=1e-30,
+                      maxiter=maxiter)
+        fence(x)
+        best = float("inf")
+        for r in range(reps):
+            bb = b + jnp.float32(1e-6 * (r + 1) * maxiter)
+            t0 = time.perf_counter()
+            x = its.gmres(St, bb, restart=20, reltol=0.0, abstol=1e-30,
+                          maxiter=maxiter)
+            fence(x)
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    dt_g = max(timed_gmres(504) - timed_gmres(248), 1e-9)
+    g_iter_time = dt_g / iters
+    g_nnz_per_s = nnz * iters / dt_g
+
+    # SpMV share: time the bare fused SpMV(+dot) the same differential way
+    from functools import partial as _partial2
+
+    @_partial2(jax.jit, static_argnames=("K",))
+    def _mvloop(v, K):
+        return jax.lax.fori_loop(
+            0, K, lambda i, w: St.mv_dot(w)[0] * jnp.float32(1 / 7.0), v)
+
+    def mv_time(K, reps=3):
+        v = _mvloop(b, K)
+        fence(v)
+        best = float("inf")
+        for r in range(reps):
+            vv = b + jnp.float32(1e-6 * (r + 1) * K)
+            t0 = time.perf_counter()
+            v = _mvloop(vv, K)
+            fence(v)
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    t_mv = max((mv_time(64) - mv_time(16)) / 48, 1e-9)
+    orth_share = max(0.0, 1.0 - t_mv / g_iter_time)
+
+    print(json.dumps({
+        "metric": "gmres20_3d_laplace_spmv_throughput",
+        "value": round(g_nnz_per_s / 1e9, 4),
+        "unit": "Gnnz/s",
+        "vs_baseline": round(g_nnz_per_s / target, 4),
+        "detail": {
+            "n": n,
+            "restart": 20,
+            "timed_iters": iters,
+            "us_per_iter": round(g_iter_time * 1e6, 1),
+            "us_per_spmv": round(t_mv * 1e6, 1),
+            "orthogonalization_share": round(orth_share, 3),
+        },
+    }), flush=True)
 
 
 if __name__ == "__main__":

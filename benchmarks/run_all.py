@@ -286,6 +286,98 @@ def bench_matrixmarket():
                 converged=detail["cg"]["conv"], detail=detail)
 
 
+def bench_matrixmarket_real():
+    """The vendored class-matched .mtx workloads (benchmarks/matrices/ —
+    Pres_Poisson / well1850 / cylshell classes, see generate.py) through the
+    full pipeline: native parse -> format pick -> solver, with residual
+    assertions (~ benchmark/matrixmarket.jl, benchmark-svd-florida.jl)."""
+    import jax.numpy as jnp
+
+    import iterativesolvers_tpu as its
+    from iterativesolvers_tpu.operators.preconditioners import (
+        DiagonalPreconditioner,
+    )
+    from iterativesolvers_tpu.operators.sparse import BSRMatrix
+
+    mdir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "matrices")
+    detail = {}
+
+    # fem_poisson (SPD, 8000): CG + Jacobi, GMRES(30) + Jacobi
+    A = its.load_matrix_market(os.path.join(mdir, "fem_poisson.mtx"),
+                               dtype=np.float32)
+    d, _ = A.diagonal()
+    Pl = DiagonalPreconditioner(d)
+    op = A.to_hyb()
+    b = jnp.asarray(np.asarray(A.mv(np.ones(A.shape[0], np.float32))))
+    # f32 on TPU: the attainable true residual is ~ eps * cond(A) (~0.1 for
+    # this FEM matrix); the tight accuracy assertions run in f64 on CPU in
+    # tests/test_matrixmarket_workloads.py.  Here we pin recurrence
+    # convergence + the f32 conditioning envelope and record the residual.
+    x, h = its.cg(op, b, Pl=Pl, reltol=1e-6, maxiter=3000, log=True)
+    rel = float(jnp.linalg.norm(b - A.mv(x)) / jnp.linalg.norm(b))
+    assert h.isconverged and rel < 0.5, (h.isconverged, rel)
+    t, _ = _timeit(lambda r: its.cg(op, _shift(b, r), Pl=Pl, reltol=1e-6,
+                                    maxiter=3000))
+    detail["poisson_cg"] = dict(wall_s=round(t, 4), iters=h.iters,
+                                resid=round(rel, 9), conv=h.isconverged)
+    # GMRES(30) stalls on this FEM spectrum; restart=60 converges (same
+    # configuration the accuracy test pins in f64)
+    xg, hg = its.gmres(op, b, Pl=Pl, restart=60, reltol=1e-4, maxiter=3000,
+                       log=True)
+    relg = float(jnp.linalg.norm(b - A.mv(xg)) / jnp.linalg.norm(b))
+    assert relg < 0.5, relg
+    tg, _ = _timeit(lambda r: its.gmres(op, _shift(b, r), Pl=Pl, restart=60,
+                                        reltol=1e-4, maxiter=3000))
+    detail["poisson_gmres"] = dict(wall_s=round(tg, 4), iters=hg.iters,
+                                   resid=round(relg, 9), conv=hg.isconverged)
+
+    # mesh_gradient_ls (23975 x 8000): LSQR / LSMR
+    G = its.load_matrix_market(os.path.join(mdir, "mesh_gradient_ls.mtx"),
+                               dtype=np.float32).to_hyb()
+    bg = jnp.asarray(
+        np.random.default_rng(0).standard_normal(G.shape[0]).astype(np.float32))
+    for name, solver in (("lsqr", its.lsqr), ("lsmr", its.lsmr)):
+        xl, hl = solver(G, bg, atol=1e-6, btol=1e-6, maxiter=400, log=True)
+        # LS optimality: gradient of the normal equations is small
+        gn = float(jnp.linalg.norm(G.rmv(bg - G.mv(xl))))
+        assert hl.isconverged and gn < 1e-1 * float(jnp.linalg.norm(bg)), (
+            hl.isconverged, gn)
+        tl, _ = _timeit(lambda r, s=solver: s(G, _shift(bg, r), atol=1e-6,
+                                              btol=1e-6, maxiter=400))
+        detail[f"gradient_{name}"] = dict(wall_s=round(tl, 4), iters=hl.iters,
+                                          conv=hl.isconverged)
+
+    # svdl on the rectangular gradient operator
+    vals, _L, hs = its.svdl(G, nsv=5, tol=1e-6, maxiter=300, log=True)
+    sv = np.asarray(vals)
+    assert (np.diff(sv) <= 1e-6).all() and sv[0] > 0, sv
+    ts, _ = _timeit(lambda r: its.svdl(G, nsv=5, tol=1e-6, maxiter=300)[0])
+    detail["gradient_svdl"] = dict(wall_s=round(ts, 4),
+                                   sv1=round(float(sv[0]), 6))
+
+    # elasticity_2d (SPD, 3362, 2-dof blocks): CG on auto-blocked BSR
+    E = its.load_matrix_market(os.path.join(mdir, "elasticity_2d.mtx"),
+                               dtype=np.float32)
+    dE, _ = E.diagonal()
+    Bop = BSRMatrix.from_csr(E, 2)
+    be = jnp.asarray(np.asarray(E.mv(np.ones(E.shape[0], np.float32))))
+    xe, he = its.cg(Bop, be, Pl=DiagonalPreconditioner(dE), reltol=1e-6,
+                    maxiter=4000, log=True)
+    rele = float(jnp.linalg.norm(be - E.mv(xe)) / jnp.linalg.norm(be))
+    assert rele < 0.5, rele
+    te, _ = _timeit(lambda r: its.cg(Bop, _shift(be, r),
+                                     Pl=DiagonalPreconditioner(dE),
+                                     reltol=1e-6, maxiter=4000))
+    detail["elasticity_cg_bsr"] = dict(wall_s=round(te, 4), iters=he.iters,
+                                       resid=round(rele, 9),
+                                       conv=he.isconverged)
+
+    return dict(wall_s=detail["poisson_cg"]["wall_s"],
+                iters=detail["poisson_cg"]["iters"],
+                converged=all(v.get("conv", True) for v in detail.values()),
+                detail=detail)
+
+
 ALL = {
     "cg_tridiag_1m": bench_cg_tridiag,
     "gmres_sprand_100k": bench_gmres_sprand,
@@ -297,6 +389,7 @@ ALL = {
     "svdl_5kx3k": bench_svdl,
     "hessenberg_ls": bench_hessenberg,
     "matrixmarket": bench_matrixmarket,
+    "matrixmarket_real": bench_matrixmarket_real,
 }
 
 

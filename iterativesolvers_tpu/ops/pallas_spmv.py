@@ -90,11 +90,17 @@ def _spmv_kernel(offsets, halo, block, nd, with_dot, *refs):
             part_ref[0, 0] = part_ref[0, 0] + part
 
 
-def _call(diags, offsets, x, u=None, *, block_rows=32768, interpret=False):
+def _call(diags, offsets, x, u=None, *, block_rows=32768, interpret=False,
+          prepadded=False):
     n = x.shape[0]
     nd = len(offsets)
     halo, block, nb, npad = _plan(n, offsets, block_rows)
-    dp, xp = _pad_inputs(diags, x, halo, npad, n)
+    if prepadded:
+        # diagonals already length npad (padded once at operator build time
+        # instead of re-materialized every call)
+        dp, xp = diags, jnp.pad(x, (halo, halo + (npad - n)))
+    else:
+        dp, xp = _pad_inputs(diags, x, halo, npad, n)
     with_dot = u is not None
 
     in_specs = [pl.BlockSpec(memory_space=pltpu.ANY)]  # xp stays in HBM
@@ -133,11 +139,15 @@ def _call(diags, offsets, x, u=None, *, block_rows=32768, interpret=False):
     return outs[:n]
 
 
-def dia_spmv(diags, offsets, x, *, block_rows=32768, interpret=False):
+def dia_spmv(diags, offsets, x, *, block_rows=32768, interpret=False,
+             prepadded=False):
     """y = A x for a DIA operator (tuple of 1-D diagonals + static offsets)."""
-    return _call(diags, offsets, x, block_rows=block_rows, interpret=interpret)
+    return _call(diags, offsets, x, block_rows=block_rows, interpret=interpret,
+                 prepadded=prepadded)
 
 
-def dia_spmv_dot(diags, offsets, x, u, *, block_rows=32768, interpret=False):
+def dia_spmv_dot(diags, offsets, x, u, *, block_rows=32768, interpret=False,
+                 prepadded=False):
     """(A x, <u, A x>) in one fused pass (real dtypes)."""
-    return _call(diags, offsets, x, u=u, block_rows=block_rows, interpret=interpret)
+    return _call(diags, offsets, x, u=u, block_rows=block_rows,
+                 interpret=interpret, prepadded=prepadded)

@@ -230,6 +230,10 @@ def stencil_apply(plan: StencilPlan, center, inner_coeffs, outer_coeffs, x,
          for _ in range(n_inner)]
     inputs = [x, x, scal] + mcs
 
+    # padded (nb*block,) output + post-hoc y[:n] slice.  A ragged (n,)
+    # output was tried (saves the 62 us slice pass) and REGRESSED 2x on
+    # real v5e — Mosaic's masked ragged stores disable the output block
+    # pipelining (measured: mv 178 -> 373 us at 216^3, CG/iter 623 -> 1083).
     out_shape = [jax.ShapeDtypeStruct((plan.nb * plan.block,), dtype)]
     out_specs = [pl.BlockSpec((plan.block,), lambda i: (i,))]
     if with_dot:
@@ -248,6 +252,10 @@ def stencil_apply(plan: StencilPlan, center, inner_coeffs, outer_coeffs, x,
             pltpu.VMEM((plan.block + 2 * plan.halo,), dtype),
             pltpu.SemaphoreType.DMA((2,)),
         ],
+        # the 216^3 Laplacian's period (lcm of the inner-term spans) forces a
+        # 746496-row block; window + double-buffered in/out blocks then sit
+        # just above the default 16 MB scoped-VMEM budget (v5e has 128 MB)
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 2**20),
         interpret=interpret,
     )(*inputs)
     if with_dot:

@@ -6,6 +6,7 @@ from .sharded import (
     shard_dia,
     shard_ell,
     shard_vector,
+    slice_mesh,
 )
 
 __all__ = [
@@ -16,4 +17,5 @@ __all__ = [
     "shard_dia",
     "shard_ell",
     "shard_vector",
+    "slice_mesh",
 ]

@@ -36,6 +36,7 @@ from ..operators.sparse import DIAMatrix, ELLMatrix
 
 __all__ = [
     "row_mesh",
+    "slice_mesh",
     "shard_vector",
     "shard_dia",
     "shard_ell",
@@ -45,6 +46,8 @@ __all__ = [
 ]
 
 ROW_AXIS = "rows"
+SLICE_AXIS = "slice"   # outer axis of a multi-slice mesh: links ride DCN
+CHIP_AXIS = "chip"     # inner axis: links ride ICI within a slice
 
 
 def row_mesh(n_devices: Optional[int] = None, devices=None) -> Mesh:
@@ -56,9 +59,39 @@ def row_mesh(n_devices: Optional[int] = None, devices=None) -> Mesh:
     return Mesh(np.asarray(devices), (ROW_AXIS,))
 
 
+def slice_mesh(n_slices: int, chips_per_slice: Optional[int] = None,
+               devices=None) -> Mesh:
+    """2-D ``(slice, chip)`` mesh for multi-slice (DCN-connected) pods.
+
+    Rows are partitioned over the *flattened* (slice-major) device order, so
+    a halo exchange between consecutive row blocks crosses the slice
+    boundary only for the last chip of slice s and the first chip of slice
+    s+1 — exactly one DCN hop per slice pair per SpMV, with every other halo
+    riding ICI.  Reductions over ``(SLICE_AXIS, CHIP_AXIS)`` are decomposed
+    by XLA into an intra-slice (ICI) all-reduce followed by an inter-slice
+    (DCN) all-reduce of one scalar per slice — the DCN-optimal pattern.
+    """
+    if devices is None:
+        devices = jax.devices()
+    n_slices = int(n_slices)
+    if chips_per_slice is None:
+        chips_per_slice = len(devices) // n_slices
+    devs = np.asarray(devices[: n_slices * chips_per_slice]).reshape(
+        n_slices, chips_per_slice
+    )
+    return Mesh(devs, (SLICE_AXIS, CHIP_AXIS))
+
+
+def _row_axes(mesh: Mesh):
+    """The mesh axes a length-n vector is partitioned over: all of them,
+    slice-major (1-D ``(rows,)`` mesh or 2-D ``(slice, chip)`` mesh)."""
+    return tuple(mesh.axis_names)
+
+
 def shard_vector(v, mesh: Mesh):
-    """Place a length-n vector row-sharded on the mesh."""
-    return jax.device_put(v, NamedSharding(mesh, P(ROW_AXIS)))
+    """Place a length-n vector row-sharded on the mesh (over every mesh
+    axis — slice-major on a 2-D multi-slice mesh)."""
+    return jax.device_put(v, NamedSharding(mesh, P(_row_axes(mesh))))
 
 
 def replicate(x, mesh: Mesh):
@@ -70,7 +103,7 @@ def shard_dia(A: DIAMatrix, mesh: Mesh) -> DIAMatrix:
     """Row-shard a DIA operator: each 1-D diagonal is row-sharded.
     The returned operator works unchanged in every solver; XLA partitions
     the shifted reads in ``DIAMatrix.mv`` with collective-permutes."""
-    sh = NamedSharding(mesh, P(ROW_AXIS))
+    sh = NamedSharding(mesh, P(_row_axes(mesh)))
     diags = tuple(jax.device_put(d, sh) for d in A.diags)
     return DIAMatrix(diags, A.offsets, A.shape)
 
@@ -80,7 +113,7 @@ def shard_ell(A: ELLMatrix, mesh: Mesh) -> ELLMatrix:
     row-sharded, and XLA materializes the x gather as an all-gather of the
     (sharded) input vector.  For guaranteed collective placement on the hot
     path use :class:`RowShardedELLOperator` instead."""
-    sh = NamedSharding(mesh, P(ROW_AXIS, None))
+    sh = NamedSharding(mesh, P(_row_axes(mesh), None))
     adj = shard_ell(A.adj, mesh) if A.adj is not None else None
     return ELLMatrix(
         jax.device_put(A.data, sh),
@@ -114,7 +147,8 @@ class HaloDIAOperator(LinearOperator):
         n, m = dia.shape
         if n != m:
             raise ValueError("HaloDIAOperator requires a square operator")
-        D = mesh.shape[ROW_AXIS]
+        axes = _row_axes(mesh)
+        D = int(np.prod([mesh.shape[a] for a in axes]))
         if n % D != 0:
             raise ValueError(f"n={n} must divide evenly over {D} devices")
         n_local = n // D
@@ -125,11 +159,12 @@ class HaloDIAOperator(LinearOperator):
                 "use fewer devices or a larger problem"
             )
         self.mesh = mesh
+        self.axes = axes
         self.halo = halo
         self.n_local = n_local
         self.offsets = dia.offsets
         self._shape = dia.shape
-        sh = NamedSharding(mesh, P(ROW_AXIS))
+        sh = NamedSharding(mesh, P(axes))
         # tuple-of-1-D storage (see DIAMatrix): row-sharded contiguous streams
         self.diags = tuple(jax.device_put(d, sh) for d in dia.diags)
 
@@ -143,15 +178,16 @@ class HaloDIAOperator(LinearOperator):
 
     def mv(self, x):
         halo, offsets, n_local = self.halo, self.offsets, self.n_local
-        D = self.mesh.shape[ROW_AXIS]
+        axes = self.axes
+        D = int(np.prod([self.mesh.shape[a] for a in axes]))
 
         def local_mv(diags_loc, x_loc):
             # x_loc: (n_local,) or (n_local, k)
             if halo > 0 and D > 1:
                 fwd = [(i, (i + 1) % D) for i in range(D)]
                 bwd = [(i, (i - 1) % D) for i in range(D)]
-                left = jax.lax.ppermute(x_loc[-halo:], ROW_AXIS, perm=fwd)
-                right = jax.lax.ppermute(x_loc[:halo], ROW_AXIS, perm=bwd)
+                left = jax.lax.ppermute(x_loc[-halo:], axes, perm=fwd)
+                right = jax.lax.ppermute(x_loc[:halo], axes, perm=bwd)
             else:
                 left = x_loc[-halo:] if halo else x_loc[:0]
                 right = x_loc[:halo]
@@ -165,11 +201,11 @@ class HaloDIAOperator(LinearOperator):
                 )
             return y
 
-        vec_spec = P(ROW_AXIS) if x.ndim == 1 else P(ROW_AXIS, None)
+        vec_spec = P(axes) if x.ndim == 1 else P(axes, None)
         return jax.shard_map(
             local_mv,
             mesh=self.mesh,
-            in_specs=(P(ROW_AXIS), vec_spec),
+            in_specs=(P(axes), vec_spec),
             out_specs=vec_spec,
         )(self.diags, x)
 
@@ -177,14 +213,15 @@ class HaloDIAOperator(LinearOperator):
         # A^H for DIA: offset o of A^H holds conj(A) offset -o data shifted;
         # implement via the same halo pattern on the transposed stencil.
         halo, offsets, n_local = self.halo, self.offsets, self.n_local
-        D = self.mesh.shape[ROW_AXIS]
+        axes = self.axes
+        D = int(np.prod([self.mesh.shape[a] for a in axes]))
 
         def local_rmv(diags_loc, x_loc):
             if halo > 0 and D > 1:
                 fwd = [(i, (i + 1) % D) for i in range(D)]
                 bwd = [(i, (i - 1) % D) for i in range(D)]
-                left = jax.lax.ppermute(x_loc[-halo:], ROW_AXIS, perm=fwd)
-                right = jax.lax.ppermute(x_loc[:halo], ROW_AXIS, perm=bwd)
+                left = jax.lax.ppermute(x_loc[-halo:], axes, perm=fwd)
+                right = jax.lax.ppermute(x_loc[:halo], axes, perm=bwd)
             else:
                 left = x_loc[-halo:] if halo else x_loc[:0]
                 right = x_loc[:halo]
@@ -197,8 +234,8 @@ class HaloDIAOperator(LinearOperator):
             for kk, off in enumerate(offsets):
                 drow = diags_loc[kk]
                 if halo > 0 and D > 1:
-                    dl = jax.lax.ppermute(drow[-halo:], ROW_AXIS, perm=fwd)
-                    dr = jax.lax.ppermute(drow[:halo], ROW_AXIS, perm=bwd)
+                    dl = jax.lax.ppermute(drow[-halo:], axes, perm=fwd)
+                    dr = jax.lax.ppermute(drow[:halo], axes, perm=bwd)
                 else:
                     dl = drow[-halo:] if halo else drow[:0]
                     dr = drow[:halo]
@@ -213,22 +250,24 @@ class HaloDIAOperator(LinearOperator):
                 y = y + jnp.conj(d) * x_shift
             return y
 
-        vec_spec = P(ROW_AXIS) if x.ndim == 1 else P(ROW_AXIS, None)
+        vec_spec = P(axes) if x.ndim == 1 else P(axes, None)
         return jax.shard_map(
             local_rmv,
             mesh=self.mesh,
-            in_specs=(P(ROW_AXIS), vec_spec),
+            in_specs=(P(axes), vec_spec),
             out_specs=vec_spec,
         )(self.diags, x)
 
     def tree_flatten(self):
-        return (self.diags,), (self.mesh, self.halo, self.n_local, self.offsets, self._shape)
+        return (self.diags,), (self.mesh, self.axes, self.halo, self.n_local,
+                               self.offsets, self._shape)
 
     @classmethod
     def tree_unflatten(cls, aux, leaves):
         obj = object.__new__(cls)
         (obj.diags,) = leaves
-        obj.mesh, obj.halo, obj.n_local, obj.offsets, obj._shape = aux
+        (obj.mesh, obj.axes, obj.halo, obj.n_local, obj.offsets,
+         obj._shape) = aux
         return obj
 
 
@@ -258,14 +297,16 @@ class RowShardedELLOperator(LinearOperator):
 
     def __init__(self, ell: ELLMatrix, mesh: Mesh):
         n, m = ell.shape
-        D = mesh.shape[ROW_AXIS]
+        axes = _row_axes(mesh)
+        D = int(np.prod([mesh.shape[a] for a in axes]))
         if n % D != 0 or m % D != 0:
             raise ValueError(
                 f"shape {ell.shape} must divide evenly over {D} devices"
             )
         self.mesh = mesh
+        self.axes = axes
         self._shape = ell.shape
-        sh = NamedSharding(mesh, P(ROW_AXIS, None))
+        sh = NamedSharding(mesh, P(axes, None))
         self.data = jax.device_put(ell.data, sh)
         self.cols = jax.device_put(ell.cols, sh)
         if ell.adj is not None:
@@ -282,30 +323,31 @@ class RowShardedELLOperator(LinearOperator):
     def dtype(self):
         return self.data.dtype
 
-    @staticmethod
-    def _local_mv(data, cols, x_loc):
-        xg = jax.lax.all_gather(x_loc, ROW_AXIS, tiled=True)
+    def _local_mv(self, data, cols, x_loc):
+        xg = jax.lax.all_gather(x_loc, self.axes, tiled=True)
         g = xg[cols]  # (n_local, w) or (n_local, w, k)
         d = data if g.ndim == 2 else data[..., None]
         return jnp.sum(d * g, axis=1)
 
     def _vec_spec(self, x):
-        return P(ROW_AXIS) if x.ndim == 1 else P(ROW_AXIS, None)
+        return P(self.axes) if x.ndim == 1 else P(self.axes, None)
 
     def mv(self, x):
+        axes = self.axes
         return jax.shard_map(
             self._local_mv,
             mesh=self.mesh,
-            in_specs=(P(ROW_AXIS, None), P(ROW_AXIS, None), self._vec_spec(x)),
+            in_specs=(P(axes, None), P(axes, None), self._vec_spec(x)),
             out_specs=self._vec_spec(x),
         )(self.data, self.cols, x)
 
     def rmv(self, x):
+        axes = self.axes
         if self.adj_data is not None:
             return jax.shard_map(
                 self._local_mv,
                 mesh=self.mesh,
-                in_specs=(P(ROW_AXIS, None), P(ROW_AXIS, None), self._vec_spec(x)),
+                in_specs=(P(axes, None), P(axes, None), self._vec_spec(x)),
                 out_specs=self._vec_spec(x),
             )(self.adj_data, self.adj_cols, x)
 
@@ -318,22 +360,22 @@ class RowShardedELLOperator(LinearOperator):
             flat = vals.reshape((-1,) + vals.shape[2:])
             full = jax.ops.segment_sum(flat, cols.ravel(), num_segments=m)
             # reduce across devices and keep this device's row block
-            return jax.lax.psum_scatter(full, ROW_AXIS, tiled=True)
+            return jax.lax.psum_scatter(full, axes, tiled=True)
 
         return jax.shard_map(
             local_rmv,
             mesh=self.mesh,
-            in_specs=(P(ROW_AXIS, None), P(ROW_AXIS, None), self._vec_spec(x)),
+            in_specs=(P(axes, None), P(axes, None), self._vec_spec(x)),
             out_specs=self._vec_spec(x),
         )(self.data, self.cols, x)
 
     def tree_flatten(self):
         leaves = (self.data, self.cols, self.adj_data, self.adj_cols)
-        return leaves, (self.mesh, self._shape)
+        return leaves, (self.mesh, self.axes, self._shape)
 
     @classmethod
     def tree_unflatten(cls, aux, leaves):
         obj = object.__new__(cls)
         obj.data, obj.cols, obj.adj_data, obj.adj_cols = leaves
-        obj.mesh, obj._shape = aux
+        obj.mesh, obj.axes, obj._shape = aux
         return obj

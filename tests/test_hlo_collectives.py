@@ -120,3 +120,20 @@ def test_ell_mv_allgather_is_the_design(mesh):
     c = _collective_counts(txt)
     assert c["all-gather"] == 1, c
     assert c["collective-permute"] == 0, c
+
+
+def test_slice_mesh_halo_cg_step_collectives():
+    """2-D (slice, chip) mesh: the halo exchange is still a collective-permute
+    pair over the flattened slice-major order (boundary pairs ride DCN), with
+    no all-gather of the length-n vector anywhere in the step."""
+    from iterativesolvers_tpu.parallel.sharded import slice_mesh
+
+    mesh2 = slice_mesh(2, 4)
+    A = laplace_dia(16, 3, dtype=np.float32)
+    op = HaloDIAOperator(A, mesh2)
+    txt = _compiled_cg_step_text(op, A.shape[0], mesh2)
+    c = _collective_counts(txt)
+    assert c["collective-permute"] == 2, c
+    assert c["all-reduce"] >= 2, c
+    assert c["all-gather"] == 0, c
+    assert c["all-to-all"] == 0, c

@@ -225,3 +225,60 @@ def test_rowsharded_ell_guards(mesh):
 
     with pytest.raises(ValueError):
         RowShardedELLOperator(_random_ell(250, 250, 0.05, seed=16), mesh)
+
+
+# ---------------------------------------------------------------------------
+# Multi-slice (DCN) 2-D mesh: rows partitioned slice-major over (slice, chip)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def mesh2d():
+    from iterativesolvers_tpu.parallel.sharded import slice_mesh
+
+    assert len(jax.devices()) >= 8
+    return slice_mesh(2, 4)
+
+
+def test_slice_mesh_halo_spmv_matches_dense(mesh2d):
+    A = laplace_dia(16, 2, dtype=np.float64)
+    op = HaloDIAOperator(A, mesh2d)
+    x = np.random.default_rng(0).standard_normal(A.shape[0])
+    y = op.mv(shard_vector(jnp.asarray(x), mesh2d))
+    np.testing.assert_allclose(np.asarray(y), np.asarray(A.mv(jnp.asarray(x))),
+                               rtol=1e-12, atol=1e-12)
+
+
+def test_slice_mesh_cg_converges(mesh2d):
+    A = laplace_dia(16, 2, dtype=np.float64)
+    op = HaloDIAOperator(A, mesh2d)
+    b = shard_vector(jnp.ones(A.shape[0]), mesh2d)
+    x, h = its.cg(op, b, reltol=1e-10, maxiter=400, log=True)
+    assert h.isconverged
+    assert float(jnp.linalg.norm(A.mv(x) - 1.0)) < 1e-8
+
+
+def test_slice_mesh_ell_adjoint(mesh2d):
+    from iterativesolvers_tpu.parallel.sharded import RowShardedELLOperator
+    from iterativesolvers_tpu.utils.fixtures import random_sparse
+
+    C = random_sparse(256, 256, 0.05, seed=2, dtype=np.float64,
+                      symmetrize=True, shift=1.0)
+    E = RowShardedELLOperator(C.to_ell().with_adjoint(), mesh2d)
+    x = np.random.default_rng(1).standard_normal(256)
+    xv = shard_vector(jnp.asarray(x), mesh2d)
+    np.testing.assert_allclose(np.asarray(E.mv(xv)),
+                               np.asarray(C.mv(jnp.asarray(x))), atol=1e-12)
+    np.testing.assert_allclose(np.asarray(E.rmv(xv)),
+                               np.asarray(C.rmv(jnp.asarray(x))), atol=1e-12)
+
+
+def test_slice_mesh_gspmd_auto_sharding(mesh2d):
+    from iterativesolvers_tpu.parallel.sharded import shard_dia as _shard_dia
+
+    A = laplace_dia(16, 2, dtype=np.float64)
+    As = _shard_dia(A, mesh2d)
+    b = shard_vector(jnp.ones(A.shape[0]), mesh2d)
+    x, h = its.cg(As, b, reltol=1e-10, maxiter=400, log=True)
+    assert h.isconverged
+    assert float(jnp.linalg.norm(A.mv(x) - 1.0)) < 1e-8

@@ -1,0 +1,217 @@
+"""Pallas TPU kernel: panel modified Gram-Schmidt with VMEM-resident w.
+
+The GMRES/Arnoldi hot loop orthogonalizes a new vector w against the rows of
+the (m+1, n) Krylov panel (reference: src/orthogonalize.jl:67-79, MGS
+default).  The XLA lowering of row-wise MGS materializes w in HBM between
+every (dot, axpy) pair: per active row it reads v_j twice and reads+writes w
+twice — ~200 MB/row at n = 216^3, ~4.2 GB per iteration for the full m = 20
+panel, and it cannot skip the zero rows beyond the active count.
+
+This kernel keeps w resident in VMEM for the whole sweep (it lives in the
+pipelined OUTPUT block, so there is no extra scratch copy) and streams each
+panel row through a double-buffered chunk pipeline twice (dot pass, then
+axpy pass once h_j is known).  Rows beyond the active count k — a runtime
+scalar — are skipped entirely, DMA included.  Traffic: 2*(k+1) row reads
++ one read and one write of w, i.e. ~80 MB/row instead of ~200 MB/row and
+zero traffic for inactive rows.  The final normalization (norm + scale) runs
+in-VMEM on the last grid step, so the returned w is already normalized.
+
+TPU-shape notes (all learned on real v5e Mosaic):
+  * data moves and computes as 2-D (rows, 512) blocks — a 1-D layout maps
+    to lane-only vregs (1 of 8 sublanes used) and ran ~8x off the VPU pace;
+  * the per-chunk dot partial accumulates into a (1, 512) VMEM vector and
+    is reduced to a scalar once per row — a scalar SMEM accumulator
+    serializes every chunk on the scalar unit;
+  * chunk loops are STATIC Python unrolls: Mosaic cannot dynamically slice
+    the sublane-tiled dim of a VMEM buffer (HBM-side DMA offsets may be
+    dynamic); rows are therefore padded to whole chunks.
+
+Layout contract: the panel is stored row-major with rows padded to
+``n_pad = mgs_pad(n)`` (a multiple of the 256K-element chunk); pad columns
+must be zero.  w is the unpadded (n,) vector; outputs are the normalized w
+in padded (n_pad,) form (pad region zero — ready for the panel row write),
+the (m+1,) projection coefficients h, and the norm.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["panel_mgs", "panel_mgs_plan", "mgs_pad", "mgs_row_shape"]
+
+# Tests flip this to run the kernel through the Pallas interpreter on CPU.
+_INTERPRET = False
+
+_LANES = 512
+_CROWS = 512                    # chunk = (512, 512) f32 = 1 MB
+_CHUNK = _LANES * _CROWS
+_VMEM_BUDGET = 96 * 2**20       # w + y blocks + buffers must fit comfortably
+
+
+def _round_up(x, m):
+    return -(-x // m) * m
+
+
+def panel_mgs_plan(n: int, dtype) -> dict | None:
+    """Static geometry, or None when the kernel does not apply
+    (non-f32, too small to matter, or w cannot stay VMEM-resident)."""
+    if dtype != jnp.float32:
+        return None
+    n = int(n)
+    if n < 4 * _CHUNK:
+        return None
+    n_pad = _round_up(n, _CHUNK)
+    # resident: w input block + y output block + 2 chunk buffers
+    if 2 * 4 * n_pad + 2 * 4 * _CHUNK > _VMEM_BUDGET:
+        return None
+    return {"n": n, "n_pad": n_pad, "nc": n_pad // _CHUNK}
+
+
+def mgs_pad(n: int) -> int:
+    """Padded row length the kernel's panel layout requires."""
+    return _round_up(int(n), _CHUNK)
+
+
+def mgs_row_shape(n: int) -> tuple[int, int]:
+    """2-D shape of one panel row in the kernel's native layout.
+
+    The solver must STORE the panel with this (rows, 512) trailing shape —
+    i.e. as a (m+1, rows, 512) array — because on TPU a reshape that changes
+    the minor (lane) dimension physically re-tiles the array: feeding a
+    (m+1, n_pad) panel through ``reshape`` cost 12.5 ms/call at n = 216^3
+    (profiled), 9x the kernel itself.  Major-dim splits/merges are free.
+    """
+    return (mgs_pad(n) // _LANES, _LANES)
+
+
+def _kernel(n, n_pad, nc, m1,
+            k_ref, w_ref, panel, y_ref, h_ref, nrm_ref, buf, acc, sem):
+    j = pl.program_id(0)
+    nrows = n_pad // _LANES      # rows of the (nrows, 512) working vector
+
+    @pl.when(j == 0)
+    def _():
+        y_ref[...] = w_ref[...]  # seed the resident w (pad already zero)
+
+    active = j <= k_ref[0]
+
+    # every grid step owns exactly h[j] (h lives in SMEM: scalar stores)
+    @pl.when(jnp.logical_not(active))
+    def _():
+        h_ref[j] = jnp.zeros((), h_ref.dtype)
+
+    def dma(ci):
+        slot = ci % 2
+        return pltpu.make_async_copy(
+            panel.at[pl.ds(j * nrows + ci * _CROWS, _CROWS), :],
+            buf.at[pl.ds(slot * _CROWS, _CROWS), :],
+            sem.at[slot],
+        )
+
+    def sweep(compute):
+        """Double-buffered pass over the row chunks; ``compute(ci, block)``
+        consumes chunk ci's (_CROWS, 512) data."""
+        dma(0).start()
+        for ci in range(nc):
+            if ci + 1 < nc:
+                dma(ci + 1).start()
+            dma(ci).wait()
+            compute(ci, buf[pl.ds((ci % 2) * _CROWS, _CROWS), :])
+
+    @pl.when(active)
+    def _():
+        # ---- pass 1: h_j = <v_j, w> (vector partials, one scalar reduce) --
+        acc[...] = jnp.zeros_like(acc)
+
+        def dot_c(ci, blk):
+            yblk = y_ref[pl.ds(ci * _CROWS, _CROWS), :]
+            acc[...] += jnp.sum(blk * yblk, axis=0, keepdims=True)
+
+        sweep(dot_c)
+        hj = jnp.sum(acc[...])
+        h_ref[j] = hj
+
+        # ---- pass 2: w -= h_j v_j (re-stream the row) ----
+        def axpy_c(ci, blk):
+            sl = pl.ds(ci * _CROWS, _CROWS)
+            y_ref[sl, :] = y_ref[sl, :] - hj * blk
+
+        sweep(axpy_c)
+
+    @pl.when(j == m1 - 1)
+    def _():
+        # ---- in-VMEM normalization (pad region is zero => exact) ----
+        acc[...] = jnp.zeros_like(acc)
+        for ci in range(nc):
+            v = y_ref[pl.ds(ci * _CROWS, _CROWS), :]
+            acc[...] += jnp.sum(v * v, axis=0, keepdims=True)
+        nrm = jnp.sqrt(jnp.sum(acc[...]))
+        inv = jnp.where(nrm == 0, 1.0, 1.0 / nrm).astype(y_ref.dtype)
+        for ci in range(nc):
+            sl = pl.ds(ci * _CROWS, _CROWS)
+            y_ref[sl, :] = y_ref[sl, :] * inv
+        nrm_ref[0, 0] = nrm
+
+
+def panel_mgs(V, w, k, m1: int, *, interpret: bool | None = None):
+    """Orthogonalize w against rows 0..k of the padded row panel and
+    normalize.
+
+    Args:
+      V: the row panel, ideally ALREADY in the (m1, rows, 512) layout of
+        ``mgs_row_shape`` (any shape of size m1 * n_pad is accepted, but
+        only major-dim reshapes are free on TPU — see ``mgs_row_shape``).
+      w: (n,) vector to orthogonalize (unpadded).
+      k: int32 scalar — rows 0..k participate (rows beyond are skipped).
+      m1: static panel row count (= restart + 1).
+
+    Returns ``(w_normalized, h, nrm)`` with shapes
+    ``(rows, 512), (m1,), ()`` where the first output is the normalized w in
+    the panel-row layout (pad region zero — ready to store):
+    ``w_original = sum_j h[j] V[j] + nrm * w_norm``.
+    """
+    if interpret is None:
+        interpret = _INTERPRET
+    n = w.shape[0]
+    plan = panel_mgs_plan(n, w.dtype)
+    if plan is None:
+        raise ValueError("panel_mgs does not apply to this configuration")
+    n_pad, nc = plan["n_pad"], plan["nc"]
+    assert V.size == m1 * n_pad, (V.shape, m1, n_pad)
+    panel2d = V.reshape(m1 * (n_pad // _LANES), _LANES)
+    w2d = jnp.zeros((n_pad,), w.dtype).at[:n].set(w).reshape(-1, _LANES)
+
+    kern = partial(_kernel, n, n_pad, nc, m1)
+    nrows = n_pad // _LANES
+    y, h, nrm = pl.pallas_call(
+        kern,
+        grid=(m1,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),           # k scalar
+            pl.BlockSpec((nrows, _LANES), lambda j: (0, 0)),  # w, fetched once
+            pl.BlockSpec(memory_space=pl.ANY),               # panel in HBM
+        ],
+        out_specs=[
+            pl.BlockSpec((nrows, _LANES), lambda j: (0, 0)),  # resident w
+            pl.BlockSpec((m1,), lambda j: (0,), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1), lambda j: (0, 0), memory_space=pltpu.SMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((nrows, _LANES), w.dtype),
+            jax.ShapeDtypeStruct((m1,), w.dtype),
+            jax.ShapeDtypeStruct((1, 1), w.dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2 * _CROWS, _LANES), w.dtype),
+            pltpu.VMEM((1, _LANES), w.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=110 * 2**20),
+        interpret=interpret,
+    )(jnp.asarray(k, jnp.int32).reshape(1), w2d, panel2d)
+    return y, h, nrm[0, 0]

@@ -39,8 +39,10 @@ from ..operators.preconditioners import as_preconditioner
 from ..ops.givens import apply_givens, givens
 from ..ops.hessenberg import back_substitute
 from ..ops.orthogonalize import orthogonalize_and_normalize_rows
+from ..ops.pallas_mgs import mgs_row_shape, panel_mgs, panel_mgs_plan
+from ..ops.pallas_stencil import pallas_is_available
 from ..utils.dtypes import real_dtype, solve_dtype
-from .common import SolveResult, make_history, norm, resolve_tols, tolerance, with_highest_precision, run_chunked, SolverIterator, print_resnorms
+from .common import SolveResult, make_history, norm, resolve_tols, tolerance, with_highest_precision, SolverIterator, print_resnorms
 
 __all__ = ["gmres", "gmres_iterator"]
 
@@ -60,14 +62,34 @@ class GMRESState(NamedTuple):
     resnorm_log: jax.Array
 
 
-def _fresh_cycle(op, Pl, b, x, m, dtype):
+def _use_panel_mgs(n, dtype, orth_method):
+    """Static dispatch: the Pallas VMEM-resident panel-MGS kernel
+    (ops/pallas_mgs.py) applies on real TPU, f32, MGS, and a panel whose
+    working vector fits VMEM."""
+    return (orth_method == "mgs" and pallas_is_available()
+            and panel_mgs_plan(n, dtype) is not None)
+
+
+def _pad_row(vec, vtail):
+    """Lay a length-n vector into one panel row of trailing shape ``vtail``
+    — (n,) on the XLA path, (rows, 512) zero-padded on the Pallas path."""
+    if len(vtail) == 1 and vtail[0] == vec.shape[0]:
+        return vec
+    n_p = 1
+    for d in vtail:
+        n_p *= d
+    return jnp.zeros((n_p,), vec.dtype).at[: vec.shape[0]].set(vec).reshape(vtail)
+
+
+def _fresh_cycle(op, Pl, b, x, m, dtype, vtail):
     """Start a cycle from the true (left-preconditioned) residual
-    (~ init!, src/gmres.jl:235-255)."""
-    n = b.shape[0]
+    (~ init!, src/gmres.jl:235-255).  ``vtail`` is the trailing shape of one
+    panel row — (n,) on the XLA path, (rows, 512) (zero-padded) in the Pallas
+    panel-MGS layout (see ops/pallas_mgs.mgs_row_shape)."""
     r = Pl.ldiv(b - op.mv(x))
     beta = norm(r)
     safe = jnp.where(beta == 0, 1, beta)
-    V = jnp.zeros((m + 1, n), dtype=dtype).at[0].set(r / safe)
+    V = jnp.zeros((m + 1, *vtail), dtype=dtype).at[0].set(_pad_row(r / safe, vtail))
     R = jnp.zeros((m + 1, m), dtype=dtype)
     g = jnp.zeros(m + 1, dtype=dtype).at[0].set(beta.astype(dtype))
     cs = jnp.ones(m, dtype=real_dtype(dtype))
@@ -75,14 +97,31 @@ def _fresh_cycle(op, Pl, b, x, m, dtype):
     return V, R, g, cs, ss, beta
 
 
-def _arnoldi_step(op, Pl, Pr, state: GMRESState, orth_method: str):
-    """One Arnoldi expansion + incremental QR update."""
+def _arnoldi_step(op, Pl, Pr, state: GMRESState, orth_method: str,
+                  maxiter: int | None = None, masked: bool = False):
+    """One Arnoldi expansion + incremental QR update.
+
+    With ``masked=True`` the step runs unconditionally but every state write
+    is gated on ``do = (residual > tol) & (kt < maxiter)``; a masked step is
+    a semantic no-op (the one V-row write stores zeros, preserving the
+    zero-beyond-k panel invariant).  This lets the jitted core run fixed
+    ``fori_loop`` cycles with NO per-step ``lax.cond``/whole-state select —
+    either of those forces XLA to copy the (m+1, n) panel every iteration
+    (~2.5 GB/iter at n = 10M; measured 24 ms/iter GMRES before this
+    restructure vs ~0.77 ms/iter CG on the same operator)."""
     m = state.R.shape[1]
     k = state.k
+    n = op.shape[1]
     # expand! (src/gmres.jl:285-304): w = Pl^{-1} A Pr^{-1} v_k
-    v = jax.lax.dynamic_slice_in_dim(state.V, k, 1, axis=0)[0]
+    row = jax.lax.dynamic_slice_in_dim(state.V, k, 1, axis=0)[0]
+    v = row.reshape(-1)[:n]
     w = Pl.ldiv(op.mv(Pr.ldiv(v)))
-    w, h, nrm = orthogonalize_and_normalize_rows(state.V, w, orth_method)
+    if state.V.ndim == 3:
+        # single Pallas sweep: w stays VMEM-resident, inactive rows skipped,
+        # normalization fused — returns w in the (rows, 512) panel layout
+        w, h, nrm = panel_mgs(state.V, w, k, m + 1)
+    else:
+        w, h, nrm = orthogonalize_and_normalize_rows(state.V, w, orth_method)
     # Hessenberg column: h[0..k] + subdiagonal nrm at k+1
     hcol = h.at[k + 1].set(nrm.astype(h.dtype))
 
@@ -97,18 +136,36 @@ def _arnoldi_step(op, Pl, Pr, state: GMRESState, orth_method: str):
     c, s, r = givens(hcol[k], hcol[k + 1])
     hcol = hcol.at[k].set(r).at[k + 1].set(0)
     gk, gk1 = apply_givens(c, s, state.g[k], state.g[k + 1])
-    g = state.g.at[k].set(gk).at[k + 1].set(gk1)
     residual = jnp.abs(gk1)
 
-    V = jax.lax.dynamic_update_slice_in_dim(state.V, w[None, :], k + 1, axis=0)
+    if masked:
+        do = (state.residual > state.tol) & (state.kt < maxiter)
+        # rows 0..k are populated, rows > k are zero; a masked step keeps k
+        # frozen and re-writes the (already zero) row k+1 with zeros.
+        w = jnp.where(do, w, jnp.zeros_like(w))
+        oldcol = jax.lax.dynamic_slice_in_dim(state.R, k, 1, axis=1)[:, 0]
+        hcol = jnp.where(do, hcol, oldcol)
+        gk = jnp.where(do, gk, state.g[k])
+        gk1 = jnp.where(do, gk1, state.g[k + 1])
+        c = jnp.where(do, c, state.cs[k])
+        s = jnp.where(do, s, state.ss[k])
+        residual = jnp.where(do, residual, state.residual)
+        step_inc = do.astype(state.k.dtype)
+        log_val = jnp.where(do, residual, state.resnorm_log[state.kt])
+    else:
+        step_inc = jnp.ones((), state.k.dtype)
+        log_val = residual
+
+    g = state.g.at[k].set(gk).at[k + 1].set(gk1)
+    V = jax.lax.dynamic_update_slice_in_dim(state.V, w[None], k + 1, axis=0)
     R = jax.lax.dynamic_update_slice_in_dim(state.R, hcol[:, None], k, axis=1)
     cs = state.cs.at[k].set(c.astype(state.cs.dtype))
     ss = state.ss.at[k].set(s)
     return state._replace(
         V=V, R=R, g=g, cs=cs, ss=ss,
-        k=k + 1, kt=state.kt + 1,
+        k=k + step_inc, kt=state.kt + step_inc,
         residual=residual,
-        resnorm_log=state.resnorm_log.at[state.kt].set(residual),
+        resnorm_log=state.resnorm_log.at[state.kt].set(log_val),
     )
 
 
@@ -125,8 +182,9 @@ def _gmres_prepare(op, b, x0, Pl, Pr, reltol, abstol, restart, maxiter,
     beta = norm(r)
     tol = tolerance(beta, reltol, abstol)
     n = b.shape[0]
+    vtail = mgs_row_shape(n) if _use_panel_mgs(n, dtype, orth_method) else (n,)
     safe = jnp.where(beta == 0, 1, beta)
-    V = jnp.zeros((m + 1, n), dtype=dtype).at[0].set(r / safe)
+    V = jnp.zeros((m + 1, *vtail), dtype=dtype).at[0].set(_pad_row(r / safe, vtail))
     state = GMRESState(
         x=x,
         V=V,
@@ -151,11 +209,13 @@ def _gmres_prepare(op, b, x0, Pl, Pr, reltol, abstol, restart, maxiter,
 
         def do_finalize(st):
             y = back_substitute(st.R[:m, :], st.g[:m], st.k)
-            x = st.x + Pr.ldiv(jnp.tensordot(y, st.V[:m], axes=1))
+            upd = jnp.tensordot(y, st.V[:m], axes=1).reshape(-1)[:st.x.shape[0]]
+            x = st.x + Pr.ldiv(upd)
             done = (st.residual <= st.tol) | (st.kt >= maxiter)
 
             def do_restart(stt):
-                V, R, g, cs, ss, beta = _fresh_cycle(op, Pl, b, x, m, dtype)
+                V, R, g, cs, ss, beta = _fresh_cycle(op, Pl, b, x, m, dtype,
+                                                        st.V.shape[1:])
                 return stt._replace(
                     x=x, V=V, R=R, g=g, cs=cs, ss=ss,
                     k=jnp.zeros((), jnp.int32),
@@ -174,11 +234,57 @@ def _gmres_prepare(op, b, x0, Pl, Pr, reltol, abstol, restart, maxiter,
 
 def _gmres_core(op, b, x0, Pl, Pr, reltol, abstol, restart, maxiter,
                 initially_zero, orth_method):
-    state, step, done = _gmres_prepare(
+    """Jitted core: CYCLE-granular loop.  The while body is one full restart
+    cycle — ``restart`` masked Arnoldi steps in a fixed ``fori_loop``, then
+    one finalize (masked-length back-substitution + x update) and one fresh
+    cycle.  Rationale (all measured at n = 216^3, m = 20):
+
+      * per-step ``lax.cond`` (restart decision) or per-step whole-state
+        masking (``run_chunked``) makes XLA copy the 847 MB V panel every
+        iteration — 24 ms/iter.  Masking only the small leaves + the single
+        written row keeps the panel aliased in the carry.
+      * the data-dependent while condition costs ~1.5 ms sequencer sync per
+        trip on this backend; checking once per cycle amortizes it to
+        ~75 us/iter.
+      * a converged solve wastes at most one cycle of masked (discarded)
+        steps — same bound as the reference, which stops mid-cycle but pays
+        a full Givens-QR restart solve (src/gmres.jl:82-103).
+    """
+    dtype = solve_dtype(op.dtype, b.dtype)
+    m = restart
+    state, _, done = _gmres_prepare(
         op, b, x0, Pl, Pr, reltol, abstol, restart, maxiter,
         initially_zero, orth_method,
     )
-    final = run_chunked(step, done, state)
+    b_ = jnp.asarray(b).astype(dtype)
+
+    def cycle(s):
+        s = jax.lax.fori_loop(
+            0, m,
+            lambda _, st: _arnoldi_step(op, Pl, Pr, st, orth_method,
+                                        maxiter=maxiter, masked=True),
+            s,
+        )
+        # finalize: R/g/k froze exactly at convergence, so the masked-length
+        # solve reconstructs the converged x; V rows beyond k are zero and
+        # y is zero beyond k, so the tensordot is exact.
+        y = back_substitute(s.R[:m, :], s.g[:m], s.k)
+        upd = jnp.tensordot(y, s.V[:m], axes=1).reshape(-1)[:s.x.shape[0]]
+        x = s.x + Pr.ldiv(upd)
+        finished = (s.residual <= s.tol) | (s.kt >= maxiter)
+        # unconditional fresh cycle (1 SpMV); if finished, the while exits
+        # next trip and none of V/R/g/cs/ss is read again — only x, residual
+        # and the counters need masking.
+        V, R, g, cs, ss, beta = _fresh_cycle(op, Pl, b_, x, m, dtype,
+                                             s.V.shape[1:])
+        return s._replace(
+            x=x, V=V, R=R, g=g, cs=cs, ss=ss,
+            k=jnp.zeros((), jnp.int32),
+            restarts=s.restarts + jnp.where(finished, 0, 1).astype(s.restarts.dtype),
+            residual=jnp.where(finished, s.residual, beta),
+        )
+
+    final = jax.lax.while_loop(lambda s: ~done(s), cycle, state)
     return SolveResult(
         x=final.x,
         iters=final.kt,

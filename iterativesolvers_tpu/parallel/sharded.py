@@ -139,8 +139,17 @@ class HaloDIAOperator(LinearOperator):
     Wrap-around halo values at the global boundary are harmless: DIA data is
     structurally zero wherever ``i + offset`` falls outside the matrix.
 
-    The halo ppermutes are issued before the interior multiply-adds so XLA
-    can overlap the ICI transfer with the interior compute.
+    **Interior/boundary split (overlap by dataflow):** the local kernel
+    computes the full interior contribution from ``x_loc`` alone
+    (zero-padded shifted multiply-adds) and applies the halo values only as
+    |offset|-sized boundary corrections afterwards.  The expensive streaming
+    work therefore has *no data dependency* on the ``ppermute`` results, so
+    the TPU latency-hiding scheduler is free to run the ICI transfer
+    concurrently with the interior compute (async collective-permute
+    start/done around the interior fusion).  ``test_hlo_collectives.py::
+    test_halo_mv_interior_independent_of_ppermute`` verifies the dataflow
+    property on the traced jaxpr: nothing reached from a ppermute output is
+    larger than the halo except the final boundary scatter-adds.
     """
 
     def __init__(self, dia: DIAMatrix, mesh: Mesh):
@@ -191,14 +200,31 @@ class HaloDIAOperator(LinearOperator):
             else:
                 left = x_loc[-halo:] if halo else x_loc[:0]
                 right = x_loc[:halo]
-            x_ext = jnp.concatenate([left, x_loc, right], axis=0)
+            # ---- interior: depends on x_loc ONLY (halo slots zero-padded),
+            # so XLA may overlap the ppermutes with this streaming loop ----
+            zpad = jnp.zeros((halo,) + x_loc.shape[1:], x_loc.dtype)
+            xz = jnp.concatenate([zpad, x_loc, zpad], axis=0)
             y = jnp.zeros_like(x_loc)
             for kk, off in enumerate(offsets):
                 dk = diags_loc[kk]
                 d = dk if x_loc.ndim == 1 else dk[:, None]
                 y = y + d * jax.lax.dynamic_slice_in_dim(
-                    x_ext, halo + off, n_local, axis=0
+                    xz, halo + off, n_local, axis=0
                 )
+            # ---- boundary corrections: |off|-sized slices touching the
+            # permuted halo values (joins the interior result at the end) ----
+            for kk, off in enumerate(offsets):
+                if off == 0:
+                    continue
+                dk = diags_loc[kk]
+                if off < 0:
+                    seg = dk[:-off]
+                    d = seg if x_loc.ndim == 1 else seg[:, None]
+                    y = y.at[:-off].add(d * left[halo + off:])
+                else:
+                    seg = dk[n_local - off:]
+                    d = seg if x_loc.ndim == 1 else seg[:, None]
+                    y = y.at[n_local - off:].add(d * right[:off])
             return y
 
         vec_spec = P(axes) if x.ndim == 1 else P(axes, None)
@@ -225,12 +251,16 @@ class HaloDIAOperator(LinearOperator):
             else:
                 left = x_loc[-halo:] if halo else x_loc[:0]
                 right = x_loc[:halo]
-            x_ext = jnp.concatenate([left, x_loc, right], axis=0)
-            y = jnp.zeros_like(x_loc)
             # (A^H x)[i] = sum_o conj(A[i - o, i]) x[i - o]
             #            = sum_o conj(data[o, i - o]) x[i - o]
             # so we also need the halo of each *data* row; exchange it the
-            # same way as x.
+            # same way as x.  Interior/boundary split as in ``mv``: the
+            # zero-padded interior shifts depend on local data only.
+            zpad = jnp.zeros((halo,) + x_loc.shape[1:], x_loc.dtype)
+            xz = jnp.concatenate([zpad, x_loc, zpad], axis=0)
+            dzpad = jnp.zeros((halo,), diags_loc[0].dtype)
+            y = jnp.zeros_like(x_loc)
+            halos = []
             for kk, off in enumerate(offsets):
                 drow = diags_loc[kk]
                 if halo > 0 and D > 1:
@@ -239,15 +269,29 @@ class HaloDIAOperator(LinearOperator):
                 else:
                     dl = drow[-halo:] if halo else drow[:0]
                     dr = drow[:halo]
-                d_ext = jnp.concatenate([dl, drow, dr], axis=0)
+                halos.append((dl, dr))
+                dz = jnp.concatenate([dzpad, drow, dzpad], axis=0)
                 d_shift = jax.lax.dynamic_slice_in_dim(
-                    d_ext, halo - off, n_local, axis=0
+                    dz, halo - off, n_local, axis=0
                 )
                 x_shift = jax.lax.dynamic_slice_in_dim(
-                    x_ext, halo - off, n_local, axis=0
+                    xz, halo - off, n_local, axis=0
                 )
                 d = d_shift if x_loc.ndim == 1 else d_shift[:, None]
                 y = y + jnp.conj(d) * x_shift
+            # boundary corrections from the permuted x/data halos
+            for kk, off in enumerate(offsets):
+                if off == 0:
+                    continue
+                dl, dr = halos[kk]
+                if off > 0:
+                    seg = jnp.conj(dl[halo - off:])
+                    d = seg if x_loc.ndim == 1 else seg[:, None]
+                    y = y.at[:off].add(d * left[halo - off:])
+                else:
+                    seg = jnp.conj(dr[:-off])
+                    d = seg if x_loc.ndim == 1 else seg[:, None]
+                    y = y.at[n_local + off:].add(d * right[:-off])
             return y
 
         vec_spec = P(axes) if x.ndim == 1 else P(axes, None)

@@ -122,6 +122,60 @@ def test_ell_mv_allgather_is_the_design(mesh):
     assert c["collective-permute"] == 0, c
 
 
+def _collect_eqns(jaxpr, out):
+    """Flatten all eqns of a (closed) jaxpr incl. sub-jaxprs (shard_map,
+    pjit, scan ... bodies)."""
+    for eqn in jaxpr.eqns:
+        out.append(eqn)
+        for v in eqn.params.values():
+            if hasattr(v, "jaxpr"):            # ClosedJaxpr
+                _collect_eqns(v.jaxpr, out)
+            elif hasattr(v, "eqns"):           # Jaxpr
+                _collect_eqns(v, out)
+    return out
+
+
+def test_halo_mv_interior_independent_of_ppermute(mesh):
+    """Overlap-by-dataflow property (VERDICT r1 missing #5): in the traced
+    HaloDIAOperator.mv, nothing reachable from a ppermute output is larger
+    than the halo except the final boundary scatter-adds — i.e. the
+    interior streaming multiply-adds can run while the ICI transfer is in
+    flight.  (The pre-split kernel concatenated the halos into the full
+    x_ext before every multiply; this test fails on that structure.)"""
+    A = laplace_dia(16, 3, dtype=np.float32)
+    op = HaloDIAOperator(A, mesh)
+    n = A.shape[0]
+    x = shard_vector(jnp.ones((n,), jnp.float32), mesh)
+    eqns = _collect_eqns(jax.make_jaxpr(op.mv)(x).jaxpr, [])
+    halo, n_local = op.halo, op.n_local
+
+    tainted = set()
+    for eqn in eqns:
+        if eqn.primitive.name == "ppermute":
+            tainted |= {id(v) for v in eqn.outvars}
+    assert tainted, "expected ppermutes in the halo mv"
+
+    merge_prims = {"scatter-add", "add", "dynamic_update_slice"}
+    large_muls_untainted = 0
+    for eqn in eqns:
+        invars = {id(v) for v in eqn.invars if not hasattr(v, "val")}
+        is_tainted = bool(invars & tainted)
+        big = any(
+            hasattr(v.aval, "size") and v.aval.size > halo for v in eqn.outvars
+        )
+        if is_tainted:
+            tainted |= {id(v) for v in eqn.outvars}
+            if big:
+                assert eqn.primitive.name in merge_prims, (
+                    f"large {eqn.primitive.name} depends on ppermute output — "
+                    "interior compute is serialized behind the halo exchange"
+                )
+        elif big and eqn.primitive.name == "mul":
+            large_muls_untainted += 1
+    # the interior shifted multiplies exist and are permute-independent
+    assert large_muls_untainted >= len(op.offsets)
+
+
 def test_slice_mesh_halo_cg_step_collectives():
     """2-D (slice, chip) mesh: the halo exchange is still a collective-permute
     pair over the flattened slice-major order (boundary pairs ride DCN), with

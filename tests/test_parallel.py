@@ -54,7 +54,8 @@ def test_halo_spmm_matrix_input(mesh):
     )
     Y = np.asarray(op.mv(X))
     Y_ref = np.asarray(A.to_dense()) @ np.asarray(X)
-    np.testing.assert_allclose(Y, Y_ref, rtol=1e-12)
+    # interior/boundary split sums boundary terms last: not bitwise equal
+    np.testing.assert_allclose(Y, Y_ref, rtol=1e-10)
 
 
 def test_cg_on_halo_operator(mesh):

@@ -57,17 +57,24 @@ def _round_up(x, m):
     return -(-x // m) * m
 
 
-def panel_mgs_plan(n: int, dtype) -> dict | None:
+def panel_mgs_plan(n: int, dtype, panel_dtype=None) -> dict | None:
     """Static geometry, or None when the kernel does not apply
-    (non-f32, too small to matter, or w cannot stay VMEM-resident)."""
+    (non-f32 w, too small to matter, or w cannot stay VMEM-resident).
+
+    ``panel_dtype`` is the storage dtype of the Krylov panel — float32
+    (default) or bfloat16 (the mixed-precision GMRES-IR mode: halves the
+    panel's HBM traffic; all arithmetic stays f32 in VMEM)."""
     if dtype != jnp.float32:
+        return None
+    pd = jnp.dtype(panel_dtype or jnp.float32)
+    if pd not in (jnp.dtype(jnp.float32), jnp.dtype(jnp.bfloat16)):
         return None
     n = int(n)
     if n < 4 * _CHUNK:
         return None
     n_pad = _round_up(n, _CHUNK)
-    # resident: w input block + y output block + 2 chunk buffers
-    if 2 * 4 * n_pad + 2 * 4 * _CHUNK > _VMEM_BUDGET:
+    # resident: w input block + y output block (f32) + 2 panel-chunk buffers
+    if 2 * 4 * n_pad + 2 * pd.itemsize * _CHUNK > _VMEM_BUDGET:
         return None
     return {"n": n, "n_pad": n_pad, "nc": n_pad // _CHUNK}
 
@@ -130,7 +137,9 @@ def _kernel(n, n_pad, nc, m1,
 
         def dot_c(ci, blk):
             yblk = y_ref[pl.ds(ci * _CROWS, _CROWS), :]
-            acc[...] += jnp.sum(blk * yblk, axis=0, keepdims=True)
+            # panel chunks may be bf16 (GMRES-IR mode); compute in f32
+            acc[...] += jnp.sum(blk.astype(acc.dtype) * yblk, axis=0,
+                                keepdims=True)
 
         sweep(dot_c)
         hj = jnp.sum(acc[...])
@@ -139,7 +148,7 @@ def _kernel(n, n_pad, nc, m1,
         # ---- pass 2: w -= h_j v_j (re-stream the row) ----
         def axpy_c(ci, blk):
             sl = pl.ds(ci * _CROWS, _CROWS)
-            y_ref[sl, :] = y_ref[sl, :] - hj * blk
+            y_ref[sl, :] = y_ref[sl, :] - hj * blk.astype(y_ref.dtype)
 
         sweep(axpy_c)
 
@@ -178,7 +187,7 @@ def panel_mgs(V, w, k, m1: int, *, interpret: bool | None = None):
     if interpret is None:
         interpret = _INTERPRET
     n = w.shape[0]
-    plan = panel_mgs_plan(n, w.dtype)
+    plan = panel_mgs_plan(n, w.dtype, V.dtype)
     if plan is None:
         raise ValueError("panel_mgs does not apply to this configuration")
     n_pad, nc = plan["n_pad"], plan["nc"]
@@ -207,7 +216,7 @@ def panel_mgs(V, w, k, m1: int, *, interpret: bool | None = None):
             jax.ShapeDtypeStruct((1, 1), w.dtype),
         ],
         scratch_shapes=[
-            pltpu.VMEM((2 * _CROWS, _LANES), w.dtype),
+            pltpu.VMEM((2 * _CROWS, _LANES), V.dtype),       # panel chunks
             pltpu.VMEM((1, _LANES), w.dtype),
             pltpu.SemaphoreType.DMA((2,)),
         ],

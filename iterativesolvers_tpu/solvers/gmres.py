@@ -62,12 +62,12 @@ class GMRESState(NamedTuple):
     resnorm_log: jax.Array
 
 
-def _use_panel_mgs(n, dtype, orth_method):
+def _use_panel_mgs(n, dtype, orth_method, panel_dtype=None):
     """Static dispatch: the Pallas VMEM-resident panel-MGS kernel
     (ops/pallas_mgs.py) applies on real TPU, f32, MGS, and a panel whose
     working vector fits VMEM."""
     return (orth_method == "mgs" and pallas_is_available()
-            and panel_mgs_plan(n, dtype) is not None)
+            and panel_mgs_plan(n, dtype, panel_dtype) is not None)
 
 
 def _pad_row(vec, vtail):
@@ -81,15 +81,18 @@ def _pad_row(vec, vtail):
     return jnp.zeros((n_p,), vec.dtype).at[: vec.shape[0]].set(vec).reshape(vtail)
 
 
-def _fresh_cycle(op, Pl, b, x, m, dtype, vtail):
+def _fresh_cycle(op, Pl, b, x, m, dtype, vtail, vdtype=None):
     """Start a cycle from the true (left-preconditioned) residual
     (~ init!, src/gmres.jl:235-255).  ``vtail`` is the trailing shape of one
     panel row — (n,) on the XLA path, (rows, 512) (zero-padded) in the Pallas
-    panel-MGS layout (see ops/pallas_mgs.mgs_row_shape)."""
+    panel-MGS layout (see ops/pallas_mgs.mgs_row_shape).  ``vdtype`` is the
+    panel storage dtype (bfloat16 in GMRES-IR mode)."""
+    vdtype = vdtype or dtype
     r = Pl.ldiv(b - op.mv(x))
     beta = norm(r)
     safe = jnp.where(beta == 0, 1, beta)
-    V = jnp.zeros((m + 1, *vtail), dtype=dtype).at[0].set(_pad_row(r / safe, vtail))
+    V = jnp.zeros((m + 1, *vtail), dtype=vdtype).at[0].set(
+        _pad_row((r / safe).astype(vdtype), vtail))
     R = jnp.zeros((m + 1, m), dtype=dtype)
     g = jnp.zeros(m + 1, dtype=dtype).at[0].set(beta.astype(dtype))
     cs = jnp.ones(m, dtype=real_dtype(dtype))
@@ -114,7 +117,7 @@ def _arnoldi_step(op, Pl, Pr, state: GMRESState, orth_method: str,
     n = op.shape[1]
     # expand! (src/gmres.jl:285-304): w = Pl^{-1} A Pr^{-1} v_k
     row = jax.lax.dynamic_slice_in_dim(state.V, k, 1, axis=0)[0]
-    v = row.reshape(-1)[:n]
+    v = row.reshape(-1)[:n].astype(state.x.dtype)
     w = Pl.ldiv(op.mv(Pr.ldiv(v)))
     if state.V.ndim == 3:
         # single Pallas sweep: w stays VMEM-resident, inactive rows skipped,
@@ -157,7 +160,8 @@ def _arnoldi_step(op, Pl, Pr, state: GMRESState, orth_method: str,
         log_val = residual
 
     g = state.g.at[k].set(gk).at[k + 1].set(gk1)
-    V = jax.lax.dynamic_update_slice_in_dim(state.V, w[None], k + 1, axis=0)
+    V = jax.lax.dynamic_update_slice_in_dim(
+        state.V, w[None].astype(state.V.dtype), k + 1, axis=0)
     R = jax.lax.dynamic_update_slice_in_dim(state.R, hcol[:, None], k, axis=1)
     cs = state.cs.at[k].set(c.astype(state.cs.dtype))
     ss = state.ss.at[k].set(s)
@@ -169,11 +173,24 @@ def _arnoldi_step(op, Pl, Pr, state: GMRESState, orth_method: str,
     )
 
 
+def _panel_update(y, Vm, out_dtype, n):
+    """x-update ``V^T y`` for any panel layout/dtype: a bf16 panel stays
+    bf16 into the MXU (f32 accumulate) instead of materializing an f32
+    copy of the whole panel."""
+    if Vm.dtype != y.dtype:
+        upd = jnp.tensordot(y.astype(Vm.dtype), Vm, axes=1,
+                            preferred_element_type=out_dtype)
+    else:
+        upd = jnp.tensordot(y, Vm, axes=1)
+    return upd.reshape(-1)[:n].astype(out_dtype)
+
+
 def _gmres_prepare(op, b, x0, Pl, Pr, reltol, abstol, restart, maxiter,
-                   initially_zero, orth_method):
+                   initially_zero, orth_method, panel_dtype=None):
     """(state0, step, done) shared by the jitted core and the eager iterator
     (~ gmres_iterable!, src/gmres.jl:108-136)."""
     dtype = solve_dtype(op.dtype, b.dtype)
+    vdtype = jnp.dtype(panel_dtype) if panel_dtype is not None else dtype
     m = restart
     x = x0.astype(dtype)
     b = b.astype(dtype)
@@ -182,9 +199,11 @@ def _gmres_prepare(op, b, x0, Pl, Pr, reltol, abstol, restart, maxiter,
     beta = norm(r)
     tol = tolerance(beta, reltol, abstol)
     n = b.shape[0]
-    vtail = mgs_row_shape(n) if _use_panel_mgs(n, dtype, orth_method) else (n,)
+    vtail = (mgs_row_shape(n)
+             if _use_panel_mgs(n, dtype, orth_method, vdtype) else (n,))
     safe = jnp.where(beta == 0, 1, beta)
-    V = jnp.zeros((m + 1, *vtail), dtype=dtype).at[0].set(_pad_row(r / safe, vtail))
+    V = jnp.zeros((m + 1, *vtail), dtype=vdtype).at[0].set(
+        _pad_row((r / safe).astype(vdtype), vtail))
     state = GMRESState(
         x=x,
         V=V,
@@ -209,13 +228,13 @@ def _gmres_prepare(op, b, x0, Pl, Pr, reltol, abstol, restart, maxiter,
 
         def do_finalize(st):
             y = back_substitute(st.R[:m, :], st.g[:m], st.k)
-            upd = jnp.tensordot(y, st.V[:m], axes=1).reshape(-1)[:st.x.shape[0]]
+            upd = _panel_update(y, st.V[:m], dtype, st.x.shape[0])
             x = st.x + Pr.ldiv(upd)
             done = (st.residual <= st.tol) | (st.kt >= maxiter)
 
             def do_restart(stt):
                 V, R, g, cs, ss, beta = _fresh_cycle(op, Pl, b, x, m, dtype,
-                                                        st.V.shape[1:])
+                                                        st.V.shape[1:], vdtype)
                 return stt._replace(
                     x=x, V=V, R=R, g=g, cs=cs, ss=ss,
                     k=jnp.zeros((), jnp.int32),
@@ -233,7 +252,7 @@ def _gmres_prepare(op, b, x0, Pl, Pr, reltol, abstol, restart, maxiter,
 
 
 def _gmres_core(op, b, x0, Pl, Pr, reltol, abstol, restart, maxiter,
-                initially_zero, orth_method):
+                initially_zero, orth_method, panel_dtype=None):
     """Jitted core: CYCLE-granular loop.  The while body is one full restart
     cycle — ``restart`` masked Arnoldi steps in a fixed ``fori_loop``, then
     one finalize (masked-length back-substitution + x update) and one fresh
@@ -249,13 +268,24 @@ def _gmres_core(op, b, x0, Pl, Pr, reltol, abstol, restart, maxiter,
       * a converged solve wastes at most one cycle of masked (discarded)
         steps — same bound as the reference, which stops mid-cycle but pays
         a full Givens-QR restart solve (src/gmres.jl:82-103).
+
+    With ``panel_dtype=bfloat16`` (GMRES-IR mode) the Krylov panel is
+    *stored* in bf16 — halving the orthogonalization's HBM traffic — while
+    all arithmetic stays f32.  Restarted GMRES is self-correcting here:
+    each cycle starts from the true f32 residual of the f32 iterate, so the
+    bf16 basis only limits per-cycle progress, never attainable accuracy
+    (this is inner-outer / iterative-refinement GMRES).  Because the
+    in-cycle Givens residual *estimate* is bf16-limited, convergence is
+    decided on the TRUE residual computed at each cycle boundary.
     """
     dtype = solve_dtype(op.dtype, b.dtype)
+    ir = panel_dtype is not None and jnp.dtype(panel_dtype) != dtype
     m = restart
     state, _, done = _gmres_prepare(
         op, b, x0, Pl, Pr, reltol, abstol, restart, maxiter,
-        initially_zero, orth_method,
+        initially_zero, orth_method, panel_dtype,
     )
+    vdtype = state.V.dtype
     b_ = jnp.asarray(b).astype(dtype)
 
     def cycle(s):
@@ -269,19 +299,25 @@ def _gmres_core(op, b, x0, Pl, Pr, reltol, abstol, restart, maxiter,
         # solve reconstructs the converged x; V rows beyond k are zero and
         # y is zero beyond k, so the tensordot is exact.
         y = back_substitute(s.R[:m, :], s.g[:m], s.k)
-        upd = jnp.tensordot(y, s.V[:m], axes=1).reshape(-1)[:s.x.shape[0]]
+        upd = _panel_update(y, s.V[:m], dtype, s.x.shape[0])
         x = s.x + Pr.ldiv(upd)
         finished = (s.residual <= s.tol) | (s.kt >= maxiter)
         # unconditional fresh cycle (1 SpMV); if finished, the while exits
         # next trip and none of V/R/g/cs/ss is read again — only x, residual
         # and the counters need masking.
         V, R, g, cs, ss, beta = _fresh_cycle(op, Pl, b_, x, m, dtype,
-                                             s.V.shape[1:])
+                                             s.V.shape[1:], vdtype)
+        if ir:
+            # decide on the true residual; the estimate only freezes steps
+            finished = (beta <= s.tol) | (s.kt >= maxiter)
+            residual = beta
+        else:
+            residual = jnp.where(finished, s.residual, beta)
         return s._replace(
             x=x, V=V, R=R, g=g, cs=cs, ss=ss,
             k=jnp.zeros((), jnp.int32),
             restarts=s.restarts + jnp.where(finished, 0, 1).astype(s.restarts.dtype),
-            residual=jnp.where(finished, s.residual, beta),
+            residual=residual,
         )
 
     final = jax.lax.while_loop(lambda s: ~done(s), cycle, state)
@@ -296,7 +332,8 @@ def _gmres_core(op, b, x0, Pl, Pr, reltol, abstol, restart, maxiter,
 
 _gmres_jit = jax.jit(
     with_highest_precision(_gmres_core),
-    static_argnames=("restart", "maxiter", "initially_zero", "orth_method"),
+    static_argnames=("restart", "maxiter", "initially_zero", "orth_method",
+                     "panel_dtype"),
 )
 
 
@@ -312,11 +349,21 @@ def gmres(
     restart: int | None = None,
     maxiter: int | None = None,
     orth_method: str = "mgs",
+    panel_dtype=None,
     log: bool = False,
     verbose: bool = False,
 ):
     """Solve A x = b with restarted GMRES(m) (~ gmres/gmres!,
     src/gmres.jl:143-233).  Stopping is on the *left-preconditioned* residual.
+
+    ``panel_dtype``: optional storage dtype for the Krylov basis.  Passing
+    ``jnp.bfloat16`` on an f32 problem enables mixed-precision GMRES-IR:
+    the panel's HBM traffic (the dominant cost of an Arnoldi iteration at
+    scale) halves, all arithmetic stays f32, and convergence is decided on
+    the true residual recomputed at each restart, so the attainable
+    accuracy is unchanged — only the per-cycle contraction degrades
+    (expect somewhat more restarts).  TPU-native feature, no reference
+    counterpart.
     """
     op = as_operator(A, b)
     Pl = as_preconditioner(Pl)
@@ -329,10 +376,20 @@ def gmres(
     dtype = solve_dtype(op.dtype, b.dtype)
     if x0 is None:
         x0 = jnp.zeros(n, dtype=dtype)
+    if panel_dtype is not None:
+        panel_dtype = jnp.dtype(panel_dtype)
+        if panel_dtype == dtype:
+            panel_dtype = None
+        elif dtype != jnp.float32 or panel_dtype != jnp.dtype(jnp.bfloat16):
+            raise ValueError(
+                "panel_dtype supports only bfloat16 panels on float32 solves"
+            )
+        else:
+            panel_dtype = "bfloat16"  # hashable static-arg form
     reltol_, abstol_ = resolve_tols(dtype, reltol, abstol)
     res, restarts = _gmres_jit(
         op, b, jnp.asarray(x0), Pl, Pr, reltol_, abstol_, restart, maxiter,
-        initially_zero, orth_method,
+        initially_zero, orth_method, panel_dtype,
     )
     if verbose:
         print_resnorms(res)

@@ -180,6 +180,70 @@ def test_panel_mgs_plan_gates():
     assert panel_mgs_plan(64 * 2**20, jnp.float32) is None    # w > VMEM
 
 
+def test_panel_mgs_bf16_panel():
+    """bf16 panel storage (GMRES-IR mode): f32 arithmetic against bf16-stored
+    rows — coefficients accurate to ~bf16 eps, w still exactly normalized."""
+    from iterativesolvers_tpu.ops.pallas_mgs import mgs_pad, panel_mgs
+
+    n, m1, k = 4 * 262144 + 1000, 5, 2
+    n_pad = mgs_pad(n)
+    r = np.random.default_rng(3)
+    V = np.zeros((m1, n_pad), np.float32)
+    Q, _ = np.linalg.qr(r.standard_normal((n, k + 1)).astype(np.float32))
+    V[: k + 1, :n] = Q.T
+    Vb = jnp.asarray(V.reshape(-1)).astype(jnp.bfloat16)
+    w = r.standard_normal(n).astype(np.float32)
+
+    y, h, nrm = panel_mgs(Vb, jnp.asarray(w), jnp.int32(k), m1, interpret=True)
+    y, h, nrm = np.asarray(y).reshape(-1), np.asarray(h), float(nrm)
+
+    Vf = np.asarray(Vb.reshape(m1, n_pad), np.float32)
+    wr = w.astype(np.float64).copy()
+    href = np.zeros(m1)
+    for j in range(k + 1):
+        href[j] = Vf[j, :n].astype(np.float64) @ wr
+        wr -= href[j] * Vf[j, :n]
+    nref = np.linalg.norm(wr)
+    np.testing.assert_allclose(h, href, rtol=1e-4, atol=1e-4)
+    assert abs(nrm - nref) <= 1e-4 * nref
+    assert abs(np.linalg.norm(y[:n]) - 1.0) < 1e-5
+
+
+def test_gmres_ir_bf16_panel_converges():
+    """GMRES-IR (panel_dtype=bfloat16, XLA path): the bf16 basis limits only
+    per-cycle progress; restarts from the true f32 residual still reach an
+    f32-level tolerance, and `converged` reflects the TRUE residual."""
+    import iterativesolvers_tpu as its
+
+    n = 600
+    rng = np.random.default_rng(11)
+    A = np.eye(n, dtype=np.float32) * 4.0
+    A -= np.diag(np.ones(n - 1, np.float32), 1)
+    A -= np.diag(np.ones(n - 1, np.float32), -1)
+    b = rng.standard_normal(n).astype(np.float32)
+    x, hist = its.gmres(jnp.asarray(A), jnp.asarray(b), restart=10,
+                        reltol=1e-5, maxiter=300,
+                        panel_dtype=jnp.bfloat16, log=True)
+    r = float(np.linalg.norm(A @ np.asarray(x) - b) / np.linalg.norm(b))
+    assert hist.isconverged
+    assert r <= 2e-5  # true residual matches the claimed convergence
+
+    # f32 panel on the same problem: same answer, possibly fewer restarts
+    xf = its.gmres(jnp.asarray(A), jnp.asarray(b), restart=10,
+                   reltol=1e-5, maxiter=300)
+    rf = float(np.linalg.norm(A @ np.asarray(xf) - b) / np.linalg.norm(b))
+    assert rf <= 2e-5
+
+
+def test_gmres_panel_dtype_validation():
+    import iterativesolvers_tpu as its
+
+    A = np.eye(8, dtype=np.float64)
+    b = np.ones(8, np.float64)
+    with pytest.raises(ValueError):
+        its.gmres(jnp.asarray(A), jnp.asarray(b), panel_dtype=jnp.bfloat16)
+
+
 def test_gmres_panel_mgs_integration(monkeypatch):
     """GMRES with the 3-D (m+1, rows, 512) Pallas panel layout (interpreted)
     matches the XLA row-MGS path end-to-end."""

@@ -173,16 +173,16 @@ def main():
     # ---- second metric (BASELINE names both solvers on this workload):
     # GMRES(20) on the same 216^3 Laplacian, matrix-free operator.  Same
     # ladder-aligned differential; executed inner iterations are exact.
-    def timed_gmres(maxiter, reps=3):
+    def timed_gmres(maxiter, reps=3, panel_dtype=None):
         x = its.gmres(St, b, restart=20, reltol=0.0, abstol=1e-30,
-                      maxiter=maxiter)
+                      maxiter=maxiter, panel_dtype=panel_dtype)
         fence(x)
         best = float("inf")
         for r in range(reps):
             bb = b + jnp.float32(1e-6 * (r + 1) * maxiter)
             t0 = time.perf_counter()
             x = its.gmres(St, bb, restart=20, reltol=0.0, abstol=1e-30,
-                          maxiter=maxiter)
+                          maxiter=maxiter, panel_dtype=panel_dtype)
             fence(x)
             best = min(best, time.perf_counter() - t0)
         return best
@@ -190,6 +190,11 @@ def main():
     dt_g = max(timed_gmres(504) - timed_gmres(248), 1e-9)
     g_iter_time = dt_g / iters
     g_nnz_per_s = nnz * iters / dt_g
+    # mixed-precision GMRES-IR variant (bf16 Krylov panel, f32 arithmetic):
+    # same iteration count by construction (reltol=0 runs to maxiter)
+    dt_g16 = max(timed_gmres(504, panel_dtype=jnp.bfloat16)
+                 - timed_gmres(248, panel_dtype=jnp.bfloat16), 1e-9)
+    g16_iter_time = dt_g16 / iters
 
     # GMRES-specific roofline: unlike CG, each Arnoldi step also streams the
     # Krylov panel through MGS.  Per m-cycle, averaged per iteration:
@@ -238,6 +243,7 @@ def main():
             "restart": 20,
             "timed_iters": iters,
             "us_per_iter": round(g_iter_time * 1e6, 1),
+            "us_per_iter_bf16_panel": round(g16_iter_time * 1e6, 1),
             "us_per_spmv": round(t_mv * 1e6, 1),
             "orthogonalization_share": round(orth_share, 3),
             "frac_hbm_roofline": round(g_frac, 4),

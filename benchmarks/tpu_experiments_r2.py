@@ -142,9 +142,7 @@ def main():
                 return y2 * (np.float32(1 / 7) + 0 * dd.astype(w.dtype))
             return jax.lax.fori_loop(0, k, body, v)
 
-        y3, d3 = jax.jit(partial(dia_spmv_dot, prepadded=True),
-                         static_argnames=())(pd, A.offsets, x, x) \
-            if False else dia_spmv_dot(pd, A.offsets, x, x, prepadded=True)
+        y3, d3 = dia_spmv_dot(pd, A.offsets, x, x, prepadded=True)
         err3 = float(jnp.max(jnp.abs(y3 - yr)) / jnp.max(jnp.abs(yr)))
         print(f"3. pallas dia compile OK, rel err {err3:.2e}", flush=True)
         t_pal = loop_time(lambda v, k: pal_loop(pd, v, k), x, 64)

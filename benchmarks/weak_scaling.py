@@ -29,7 +29,6 @@ benchmarks/results/weak_scaling_cpu8.json when run on the virtual mesh.
 
 import json
 import os
-import re
 import sys
 import time
 
@@ -46,12 +45,7 @@ if os.environ.get("JAX_PLATFORMS", "").startswith("cpu"):
     jax.config.update("jax_platforms", "cpu")
 
 
-def collective_counts(txt: str) -> dict:
-    counts = {}
-    for kind in ("collective-permute", "all-reduce", "all-gather",
-                 "reduce-scatter", "all-to-all"):
-        counts[kind] = len(re.findall(r"=\s[^=]*\b" + kind + r"(?:-start)?\(", txt))
-    return counts
+from iterativesolvers_tpu.utils.profiling import collective_counts
 
 
 def build_laplace3d(side: int, nz: int):

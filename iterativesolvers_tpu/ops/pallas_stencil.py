@@ -53,9 +53,15 @@ def _round_up(x, m):
 
 
 def pallas_is_available() -> bool:
-    """Compiled-path availability: a real TPU backend."""
+    """Compiled-path availability: a real TPU backend AND a single-device
+    world.  The Pallas kernels here and in pallas_mgs carry no GSPMD
+    partitioning rule, so on a multi-chip mesh a ``pallas_call`` on sharded
+    operands would force XLA to replicate/gather them (O(n) per call) or
+    fail to partition; every caller falls back to the XLA lowering, which
+    GSPMD partitions correctly.  (Per-shard Pallas inside ``shard_map`` would
+    be sound, but no distributed operator routes through these today.)"""
     try:
-        return jax.default_backend() == "tpu"
+        return jax.default_backend() == "tpu" and jax.device_count() == 1
     except Exception:  # pragma: no cover - no backend at all
         return False
 

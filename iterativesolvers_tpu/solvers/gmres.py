@@ -395,11 +395,13 @@ def gmres(
         print_resnorms(res)
     if not log:
         return res.x
-    # mvps: 1 per inner iteration + 1 per restart + (0 or 1) initial
+    # mvps: 1 per inner iteration, 1 per executed cycle boundary (the
+    # unconditional _fresh_cycle — restarts + the finishing cycle), and
+    # (0 or 1) for the initial residual.
     history = make_history(
         res,
         mv_per_iter=1.0,
-        mv_initial=(0 if initially_zero else 1) + int(restarts),
+        mv_initial=(0 if initially_zero else 1) + int(restarts) + 1,
         restart=restart,
     )
     history["abstol"] = float(abstol_)

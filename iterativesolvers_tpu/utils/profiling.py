@@ -16,7 +16,8 @@ from typing import Optional
 import jax
 import numpy as np
 
-__all__ = ["trace", "measure_bandwidth", "roofline_report", "RooflineReport"]
+__all__ = ["trace", "measure_bandwidth", "roofline_report", "RooflineReport",
+           "collective_counts"]
 
 
 @contextlib.contextmanager
@@ -86,3 +87,20 @@ def roofline_report(
     if bandwidth_bps is None:
         bandwidth_bps = measure_bandwidth()
     return RooflineReport(int(bytes_per_iter), float(measured_iter_s), float(bandwidth_bps))
+
+
+def collective_counts(hlo_text: str) -> dict:
+    """Count distinct collective *instructions* in optimized HLO text (a
+    start/done pair or a fused computation can mention the op several times;
+    count result-assignment lines only).  Shared by the HLO-audit tests and
+    the weak-scaling artifact so the counting rule cannot drift."""
+    import re
+
+    counts = {}
+    for kind in ("collective-permute", "all-reduce", "all-gather",
+                 "reduce-scatter", "all-to-all"):
+        # lines like "%x = ... collective-permute(" or "... all-reduce-start("
+        counts[kind] = len(
+            re.findall(r"=\s[^=]*\b" + kind + r"(?:-start)?\(", hlo_text)
+        )
+    return counts

@@ -13,7 +13,6 @@ The unstructured ELL path is the one place an all-gather IS the design
 reduce-scatter (psum_scatter), not an all-reduce of the full output.
 """
 
-import re
 
 import jax
 import jax.numpy as jnp
@@ -34,18 +33,7 @@ from iterativesolvers_tpu.utils.fixtures import laplace_dia, random_sparse
 N_DEV = 8
 
 
-def _collective_counts(txt: str) -> dict:
-    """Count distinct collective *instructions* in optimized HLO (a start/done
-    pair or a fused computation can mention the op several times; count
-    result-assignment lines only)."""
-    counts = {}
-    for kind in ("collective-permute", "all-reduce", "all-gather",
-                 "reduce-scatter", "all-to-all"):
-        # lines like "%x = ... collective-permute(" or "... all-reduce-start("
-        counts[kind] = len(
-            re.findall(r"=\s[^=]*\b" + kind + r"(?:-start)?\(", txt)
-        )
-    return counts
+from iterativesolvers_tpu.utils.profiling import collective_counts as _collective_counts
 
 
 def _compiled_cg_step_text(op, n, mesh):

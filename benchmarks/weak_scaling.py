@@ -83,69 +83,96 @@ def main():
     side = int(sys.argv[1]) if len(sys.argv) > 1 else 32
     ndev_all = [d for d in (1, 2, 4, 8) if d <= len(jax.devices())]
     maxiter = 60
-    base_per_iter = None
+    base_per_iter = {}
     rows_out = []
+
+    def build_stencil3d(side, nz):
+        """Same matrix as build_laplace3d, zero stored data (grid is
+        (nz, side, side) row-major: z is the outermost/partition axis)."""
+        from iterativesolvers_tpu.operators.stencil import StencilOperator
+
+        n = side * side * nz
+        s2 = side * side
+        terms = ((1, 1, side), (-1, 1, side),
+                 (side, side, side), (-side, side, side),
+                 (s2, s2, nz), (-s2, s2, nz))
+        return StencilOperator(n, 6.0, terms, (-1.0,) * 6, dtype=np.float32)
+
+    # per-device HBM vector passes per CG iteration: SpMV reads x + writes y
+    # (2) + ~5 axpy/dot passes; the stored-DIA path streams 7 diagonals more
+    hbm_passes = {"dia": 7 + 2 + 5, "stencil": 2 + 5}
 
     for D in ndev_all:
         # weak scaling: n grows with D (stack D sub-problems along z)
         A = build_laplace3d(side, side * D)
         n = A.shape[0]
         mesh = row_mesh(D)
-        op = HaloDIAOperator(A, mesh)
-        b = shard_vector(jnp.ones((n,), jnp.float32), mesh)
+        from iterativesolvers_tpu.parallel.sharded import HaloStencilOperator
 
-        # --- communication-pattern audit of the compiled CG step ----------
-        Pl = IdentityPreconditioner()
-        st = _cg_init(op, b, shard_vector(jnp.zeros((n,), jnp.float32), mesh),
-                      jnp.asarray(0.0, jnp.float32), jnp.asarray(1e-30, jnp.float32),
-                      maxiter, True)
-        hlo = jax.jit(lambda s: _cg_step(op, Pl, s)).lower(st).compile().as_text()
-        coll = collective_counts(hlo)
+        for kind, op in (
+            ("dia", HaloDIAOperator(A, mesh)),
+            ("stencil", HaloStencilOperator(build_stencil3d(side, side * D),
+                                            mesh)),
+        ):
+            b = shard_vector(jnp.ones((n,), jnp.float32), mesh)
 
-        # --- analytic ICI model (v5e numbers) ------------------------------
-        # per iteration per device: 2 halo ppermutes of `halo` f32 each, and
-        # ~3 scalar psums (latency-bound).  HBM traffic per device per iter:
-        # SpMV (7 diags + x + y) + ~5 vector passes, all over n/D rows.
-        halo_bytes = 2 * op.halo * 4
-        hbm_bytes = (7 + 2 + 5) * 4 * (n // D)
-        v5e_hbm = 819e9
-        v5e_ici = 2 * 45e9   # 1-D ring: one 45 GB/s link each way per chip
-        psum_lat = 3 * 1e-6  # ~1 us per small allreduce hop, 3 reductions
-        t_compute = hbm_bytes / v5e_hbm
-        t_comm = (halo_bytes / v5e_ici + psum_lat) if D > 1 else 0.0
-        # halos overlap interior compute at best; worst case they serialize
-        model_eff = t_compute / (t_compute + t_comm)
+            # --- communication-pattern audit of the compiled CG step -------
+            Pl = IdentityPreconditioner()
+            st = _cg_init(op, b,
+                          shard_vector(jnp.zeros((n,), jnp.float32), mesh),
+                          jnp.asarray(0.0, jnp.float32),
+                          jnp.asarray(1e-30, jnp.float32),
+                          maxiter, True)
+            hlo = jax.jit(
+                lambda s: _cg_step(op, Pl, s)).lower(st).compile().as_text()
+            coll = collective_counts(hlo)
 
-        # --- wall clock (meaningful on real hardware only) ----------------
-        def solve(mi):
-            x = its.cg(op, b, reltol=0.0, abstol=1e-30, maxiter=mi)
-            x.block_until_ready()
+            # --- analytic ICI model (v5e numbers) --------------------------
+            # per iteration per device: 2 halo ppermutes of `halo` f32 each,
+            # ~3 scalar psums (latency-bound), and hbm_passes[kind] vector
+            # passes over n/D rows.  The matrix-free path halves the HBM
+            # bytes, so the SAME ICI traffic is a larger fraction — its
+            # modeled efficiency is the stricter bound.
+            halo_bytes = 2 * op.halo * 4
+            hbm_bytes = hbm_passes[kind] * 4 * (n // D)
+            v5e_hbm = 819e9
+            v5e_ici = 2 * 45e9   # 1-D ring: one 45 GB/s link each way
+            psum_lat = 3 * 1e-6  # ~1 us per small allreduce, 3 reductions
+            t_compute = hbm_bytes / v5e_hbm
+            t_comm = (halo_bytes / v5e_ici + psum_lat) if D > 1 else 0.0
+            # halos overlap interior compute at best; worst case serialize
+            model_eff = t_compute / (t_compute + t_comm)
 
-        solve(maxiter)  # compile
-        times = []
-        for _ in range(3):
-            t0 = time.perf_counter()
-            solve(maxiter)
-            times.append(time.perf_counter() - t0)
-        per_iter = min(times) / maxiter
-        if base_per_iter is None:
-            base_per_iter = per_iter
-        eff = base_per_iter / per_iter
+            # --- wall clock (meaningful on real hardware only) -------------
+            def solve(mi):
+                x = its.cg(op, b, reltol=0.0, abstol=1e-30, maxiter=mi)
+                x.block_until_ready()
 
-        row = {
-            "devices": D,
-            "rows": n,
-            "rows_per_device": n // D,
-            "collectives_per_cg_step": coll,
-            "ici_bytes_per_iter_per_dev": halo_bytes,
-            "hbm_bytes_per_iter_per_dev": hbm_bytes,
-            "modeled_v5e_weak_scaling_eff": round(model_eff, 4),
-            "per_iter_ms": round(per_iter * 1e3, 3),
-            "wall_clock_eff": round(eff, 3),
-            "wall_clock_is_hardware_measurement": not on_cpu,
-        }
-        rows_out.append(row)
-        print(json.dumps(row), flush=True)
+            solve(maxiter)  # compile
+            times = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                solve(maxiter)
+                times.append(time.perf_counter() - t0)
+            per_iter = min(times) / maxiter
+            base_per_iter.setdefault(kind, per_iter)
+            eff = base_per_iter[kind] / per_iter
+
+            row = {
+                "devices": D,
+                "operator": kind,
+                "rows": n,
+                "rows_per_device": n // D,
+                "collectives_per_cg_step": coll,
+                "ici_bytes_per_iter_per_dev": halo_bytes,
+                "hbm_bytes_per_iter_per_dev": hbm_bytes,
+                "modeled_v5e_weak_scaling_eff": round(model_eff, 4),
+                "per_iter_ms": round(per_iter * 1e3, 3),
+                "wall_clock_eff": round(eff, 3),
+                "wall_clock_is_hardware_measurement": not on_cpu,
+            }
+            rows_out.append(row)
+            print(json.dumps(row), flush=True)
 
     # the same analytic model at the BASELINE north-star size (10M-row
     # 3-D Laplacian, config 5): per-device block = n/D rows
@@ -153,19 +180,25 @@ def main():
     n_ns = 216 ** 3
     halo_ns = 216 * 216  # z-plane halo of the 7-point stencil
     northstar = {}
-    for D in (1, 2, 4, 8, 16):
-        t_c = (7 + 2 + 5) * 4 * (n_ns // D) / v5e_hbm
-        t_m = (2 * halo_ns * 4 / v5e_ici + psum_lat) if D > 1 else 0.0
-        northstar[str(D)] = round(t_c / (t_c + t_m), 4)
+    for kind, passes in hbm_passes.items():
+        for D in (1, 2, 4, 8, 16):
+            t_c = passes * 4 * (n_ns // D) / v5e_hbm
+            t_m = (2 * halo_ns * 4 / v5e_ici + psum_lat) if D > 1 else 0.0
+            northstar[f"{kind}_{D}"] = round(t_c / (t_c + t_m), 4)
 
     artifact = {
         "harness": "benchmarks/weak_scaling.py",
         "northstar_10M_modeled_eff_by_devices": northstar,
         "northstar_note": (
             "analytic v5e model at BASELINE config 5 scale (216^3 rows, "
-            "7-pt stencil): halo ppermute + 3 psums vs 14 vector passes "
-            "over n/D rows; >= 0.80 target met for D <= 16 if halos do "
-            "not overlap compute at all (worst case)"
+            "7-pt stencil): halo ppermute + 3 psums vs 14 (stored-DIA) or "
+            "7 (matrix-free) vector passes over n/D rows, assuming halos do "
+            "NOT overlap compute at all (worst case).  >= 0.80 target met "
+            "for D <= 16 on the DIA path and D <= 8 matrix-free; the "
+            "matrix-free path is 2x faster per iteration, so its lower "
+            "efficiency percentage still wins on absolute time, and the "
+            "interior/boundary split makes overlap (model best case, "
+            "eff -> 1) available to the scheduler"
         ),
         "platform": jax.devices()[0].platform,
         "device_kind": str(jax.devices()[0].device_kind),

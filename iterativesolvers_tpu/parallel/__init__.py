@@ -1,5 +1,6 @@
 from .sharded import (
     HaloDIAOperator,
+    HaloStencilOperator,
     RowShardedELLOperator,
     replicate,
     row_mesh,
@@ -11,6 +12,7 @@ from .sharded import (
 
 __all__ = [
     "HaloDIAOperator",
+    "HaloStencilOperator",
     "RowShardedELLOperator",
     "replicate",
     "row_mesh",

@@ -164,6 +164,22 @@ def test_halo_mv_interior_independent_of_ppermute(mesh):
     assert large_muls_untainted >= len(op.offsets)
 
 
+def test_halo_stencil_cg_step_collectives(mesh):
+    """Matrix-free HaloStencilOperator: same contract as the DIA halo path —
+    one ppermute pair for the halo, psums for the dots (incl. the fused
+    mv_dot partial), and never an all-gather of the length-n vector."""
+    from iterativesolvers_tpu.operators.stencil import laplacian
+    from iterativesolvers_tpu.parallel.sharded import HaloStencilOperator
+
+    op = HaloStencilOperator(laplacian(16, 3, dtype=np.float32), mesh)
+    txt = _compiled_cg_step_text(op, op.n, mesh)
+    c = _collective_counts(txt)
+    assert c["collective-permute"] == 2, c
+    assert c["all-reduce"] >= 2, c
+    assert c["all-gather"] == 0, c
+    assert c["all-to-all"] == 0, c
+
+
 def test_slice_mesh_halo_cg_step_collectives():
     """2-D (slice, chip) mesh: the halo exchange is still a collective-permute
     pair over the flattened slice-major order (boundary pairs ride DCN), with

@@ -25,7 +25,7 @@ import jax.numpy as jnp
 from ..operators.linear_operator import as_operator
 from ..operators.preconditioners import as_preconditioner
 from ..utils.dtypes import real_dtype, solve_dtype
-from .common import SolveResult, make_history, norm, resolve_tols, tolerance, vdot, with_highest_precision, run_chunked, SolverIterator, print_resnorms
+from .common import SolveResult, make_history, norm, resolve_tols, tolerance, vdot, with_highest_precision, run_chunked, SolverIterator, print_resnorms, random_like
 
 __all__ = ["bicgstabl", "bicgstabl_iterator"]
 
@@ -44,12 +44,7 @@ class BiCGStabState(NamedTuple):
 
 
 def _random_like(key, n, dtype):
-    if jnp.issubdtype(dtype, jnp.complexfloating):
-        rdt = real_dtype(dtype)
-        re = jax.random.uniform(key, (n,), dtype=rdt)
-        im = jax.random.uniform(jax.random.fold_in(key, 1), (n,), dtype=rdt)
-        return (re + 1j * im).astype(dtype)
-    return jax.random.uniform(key, (n,), dtype=dtype)
+    return random_like(key, (n,), dtype)
 
 
 def _bicgstabl_prepare(op, b, x0, Pl, r_shadow, reltol, abstol, l, max_mv,

@@ -29,7 +29,7 @@ import jax.numpy as jnp
 from ..operators.linear_operator import as_operator
 from ..operators.preconditioners import as_preconditioner
 from ..utils.dtypes import real_dtype, solve_dtype
-from .common import SolveResult, SolverIterator, make_history, norm, resolve_tols, tolerance, vdot, run_chunked
+from .common import SolveResult, SolverIterator, make_history, norm, resolve_tols, tolerance, vdot, run_chunked, with_highest_precision
 
 __all__ = ["cg", "cg_iterator", "CGState"]
 
@@ -105,6 +105,7 @@ def _cg_done(state: CGState, maxiter: int):
 
 
 @partial(jax.jit, static_argnames=("maxiter", "initially_zero", "verbose"))
+@with_highest_precision
 def _cg_solve(op, b, x0, Pl, reltol, abstol, maxiter, initially_zero, verbose):
     state0 = _cg_init(op, b, x0, reltol, abstol, maxiter, initially_zero)
     final = run_chunked(

@@ -43,6 +43,7 @@ from .common import (
     resolve_tols,
     run_chunked,
     tolerance,
+    with_highest_precision,
     print_resnorms,
 )
 
@@ -125,7 +126,8 @@ def _cheb_core(op, b, x0, Pl, lmin, lmax, reltol, abstol, maxiter, initially_zer
     )
 
 
-_cheb_jit = jax.jit(_cheb_core, static_argnames=("maxiter", "initially_zero"))
+_cheb_jit = jax.jit(with_highest_precision(_cheb_core),
+                    static_argnames=("maxiter", "initially_zero"))
 
 
 def chebyshev(

@@ -33,6 +33,8 @@ __all__ = [
     "tolerance",
     "norm",
     "vdot",
+    "safe_inv",
+    "random_like",
     "SolverIterator",
     "resolve_tols",
 ]
@@ -47,6 +49,28 @@ def norm(x):
 def vdot(a, b):
     """<a, b> with the first argument conjugated (Julia ``dot`` semantics)."""
     return jnp.sum(jnp.conj(a) * b)
+
+
+def safe_inv(x):
+    """1/x for x > 0, else 0 — the breakdown guard used when normalizing
+    Golub-Kahan / Lanczos vectors (a zero norm means the recurrence
+    terminated; the masked-step machinery freezes the state)."""
+    return jnp.where(x > 0, 1.0 / jnp.where(x > 0, x, 1.0), 0.0)
+
+
+def random_like(key, shape, dtype):
+    """Uniform random block of the given shape; complex dtypes get
+    independent uniform real/imaginary parts (the analogue of the
+    reference's ``rand(T, n)`` shadow residuals / shadow spaces,
+    src/bicgstabl.jl:38, src/idrs.jl:132)."""
+    from ..utils.dtypes import real_dtype
+
+    if jnp.issubdtype(jnp.dtype(dtype), jnp.complexfloating):
+        rdt = real_dtype(dtype)
+        re = jax.random.uniform(key, shape, dtype=rdt)
+        im = jax.random.uniform(jax.random.fold_in(key, 1), shape, dtype=rdt)
+        return (re + 1j * im).astype(dtype)
+    return jax.random.uniform(key, shape, dtype=dtype)
 
 
 def tolerance(resnorm0, reltol, abstol):
@@ -114,11 +138,13 @@ class SolverIterator:
         done: Callable,
         extract: Callable = lambda s: s,
         jit: bool = True,
+        get_x: Callable | None = None,
     ):
         self.state = state
         self._step = jax.jit(step) if jit else step
         self._done = done
         self._extract = extract
+        self._get_x = get_x
 
     def __iter__(self):
         return self
@@ -132,6 +158,8 @@ class SolverIterator:
     @property
     def x(self):
         st = self.state
+        if self._get_x is not None:
+            return self._get_x(st)
         return getattr(st, "x", None) if hasattr(st, "x") else st.X
 
 

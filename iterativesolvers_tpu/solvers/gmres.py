@@ -396,12 +396,15 @@ def gmres(
     if not log:
         return res.x
     # mvps: 1 per inner iteration, 1 per executed cycle boundary (the
-    # unconditional _fresh_cycle — restarts + the finishing cycle), and
-    # (0 or 1) for the initial residual.
+    # unconditional _fresh_cycle — restarts + the finishing cycle, which
+    # only exists if the while loop ran at all: an initially-converged or
+    # maxiter=0 solve executes zero cycles), and (0 or 1) for the initial
+    # residual.
+    ran_cycles = int(res.iters) > 0 or int(restarts) > 0
     history = make_history(
         res,
         mv_per_iter=1.0,
-        mv_initial=(0 if initially_zero else 1) + int(restarts) + 1,
+        mv_initial=(0 if initially_zero else 1) + int(restarts) + int(ran_cycles),
         restart=restart,
     )
     history["abstol"] = float(abstol_)

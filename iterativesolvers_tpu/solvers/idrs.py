@@ -26,7 +26,7 @@ import jax.numpy as jnp
 from ..operators.linear_operator import as_operator
 from ..operators.preconditioners import as_preconditioner
 from ..utils.dtypes import real_dtype, solve_dtype
-from .common import SolveResult, make_history, norm, resolve_tols, tolerance, vdot, with_highest_precision, run_chunked, SolverIterator, print_resnorms
+from .common import SolveResult, make_history, norm, resolve_tols, tolerance, vdot, with_highest_precision, run_chunked, SolverIterator, print_resnorms, random_like
 
 __all__ = ["idrs", "idrs_iterator"]
 
@@ -215,15 +215,7 @@ def idrs(
     if x0 is None:
         x0 = jnp.zeros(n, dtype=dtype)
     reltol_, abstol_ = resolve_tols(dtype, reltol, abstol)
-    key = jax.random.PRNGKey(seed)
-    if jnp.issubdtype(jnp.dtype(dtype), jnp.complexfloating):
-        rdt = real_dtype(dtype)
-        P = (
-            jax.random.uniform(key, (int(s), n), dtype=rdt)
-            + 1j * jax.random.uniform(jax.random.fold_in(key, 1), (int(s), n), dtype=rdt)
-        ).astype(dtype)
-    else:
-        P = jax.random.uniform(key, (int(s), n), dtype=dtype)
+    P = random_like(jax.random.PRNGKey(seed), (int(s), n), dtype)
     res = _idrs_jit(
         op, b, jnp.asarray(x0), Pl, P, reltol_, abstol_, int(s), maxiter,
         bool(smoothing), initially_zero,
@@ -263,19 +255,14 @@ def idrs_iterator(
     if x0 is None:
         x0 = jnp.zeros(n, dtype=dtype)
     reltol_, abstol_ = resolve_tols(dtype, reltol, abstol)
-    key = jax.random.PRNGKey(seed)
-    if jnp.issubdtype(jnp.dtype(dtype), jnp.complexfloating):
-        rdt = real_dtype(dtype)
-        P = (
-            jax.random.uniform(key, (int(s), n), dtype=rdt)
-            + 1j * jax.random.uniform(jax.random.fold_in(key, 1), (int(s), n), dtype=rdt)
-        ).astype(dtype)
-    else:
-        P = jax.random.uniform(key, (int(s), n), dtype=dtype)
+    P = random_like(jax.random.PRNGKey(seed), (int(s), n), dtype)
     state0, step, done = _idrs_prepare(
         op, b, jnp.asarray(x0), Pl, P, reltol_, abstol_, int(s), maxiter,
         bool(smoothing), initially_zero,
     )
     return SolverIterator(
-        state0, step=step, done=done, extract=lambda st: st.normR
+        state0, step=step, done=done, extract=lambda st: st.normR,
+        # with smoothing the yielded normR is norm(R_s), so .x must expose
+        # the matching smoothed iterate X_s (what _idrs_core returns too)
+        get_x=(lambda st: st.X_s) if smoothing else None,
     )

@@ -22,7 +22,7 @@ import numpy as np
 
 from ..operators.linear_operator import as_operator
 from ..utils.dtypes import real_dtype, solve_dtype
-from .common import SolveResult, make_history, norm, run_chunked
+from .common import SolveResult, make_history, norm, run_chunked, with_highest_precision, safe_inv as _safe_inv
 
 __all__ = ["lsmr"]
 
@@ -59,10 +59,6 @@ class LSMRState(NamedTuple):
     test1_log: jax.Array   # :rnorm
     test2_log: jax.Array   # :anorm
     test3_log: jax.Array   # :cnorm
-
-
-def _safe_inv(x):
-    return jnp.where(x > 0, 1.0 / jnp.where(x > 0, x, 1.0), 0.0)
 
 
 def _lsmr_step(op, lam, atol, btol, ctol, maxiter, s: LSMRState, verbose=False):
@@ -189,6 +185,7 @@ def _lsmr_step(op, lam, atol, btol, ctol, maxiter, s: LSMRState, verbose=False):
 
 
 @partial(jax.jit, static_argnames=("maxiter", "verbose"))
+@with_highest_precision
 def _lsmr_solve(op, b, x0, lam, atol, btol, ctol, maxiter, verbose):
     dtype = solve_dtype(op.dtype, b.dtype)
     rt = real_dtype(dtype)

@@ -36,7 +36,7 @@ import numpy as np
 
 from ..operators.linear_operator import as_operator
 from ..utils.dtypes import eps, real_dtype, solve_dtype
-from .common import SolveResult, make_history, norm, run_chunked
+from .common import SolveResult, make_history, norm, run_chunked, with_highest_precision, safe_inv as _safe_inv
 
 __all__ = ["lsqr"]
 
@@ -65,10 +65,6 @@ class LSQRState(NamedTuple):
     test1_log: jax.Array        # :rnorm  — rnorm/bnorm
     test2_log: jax.Array        # :anorm  — Arnorm/(Anorm*rnorm)
     test3_log: jax.Array        # :cnorm  — 1/Acond
-
-
-def _safe_inv(x):
-    return jnp.where(x > 0, 1.0 / jnp.where(x > 0, x, 1.0), 0.0)
 
 
 def _lsqr_step(op, damp, atol, btol, ctol, maxiter, s: LSQRState, verbose=False):
@@ -177,6 +173,7 @@ def _lsqr_step(op, damp, atol, btol, ctol, maxiter, s: LSQRState, verbose=False)
 
 
 @partial(jax.jit, static_argnames=("maxiter", "verbose"))
+@with_highest_precision
 def _lsqr_solve(op, b, x0, damp, atol, btol, ctol, maxiter, verbose):
     dtype = solve_dtype(op.dtype, b.dtype)
     rt = real_dtype(dtype)

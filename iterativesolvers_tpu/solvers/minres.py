@@ -24,7 +24,7 @@ import jax.numpy as jnp
 from ..operators.linear_operator import as_operator
 from ..ops.givens import givens
 from ..utils.dtypes import real_dtype, solve_dtype
-from .common import SolveResult, SolverIterator, make_history, norm, resolve_tols, tolerance, vdot, run_chunked, print_resnorms
+from .common import SolveResult, SolverIterator, make_history, norm, resolve_tols, tolerance, vdot, run_chunked, print_resnorms, with_highest_precision
 
 __all__ = ["minres", "minres_iterator"]
 
@@ -143,7 +143,8 @@ def _minres_core(op, b, x0, reltol, abstol, maxiter, initially_zero, skew):
 
 
 _minres_jit = jax.jit(
-    _minres_core, static_argnames=("maxiter", "initially_zero", "skew")
+    with_highest_precision(_minres_core),
+    static_argnames=("maxiter", "initially_zero", "skew"),
 )
 
 

@@ -38,6 +38,7 @@ from .common import (
     resolve_tols,
     run_chunked,
     tolerance,
+    with_highest_precision,
     vdot,
 )
 
@@ -82,9 +83,17 @@ def _pipecg_core(op, b, x0, Pl, reltol, abstol, maxiter, initially_zero):
     )
 
     def body(st: PipeCGState) -> PipeCGState:
-        # one fused reduction pair; on a sharded mesh this is a single psum
+        # ONE fused reduction bundle per iteration (single psum on a mesh):
+        # gamma, delta, and the convergence norm all reduce over vectors
+        # already streaming.  The norm is therefore the LAGGED residual
+        # ||r_k|| of the incoming state (the standard Ghysels-Vanroose
+        # trade: a separate norm(r_new) at the end of the body cannot fuse
+        # with this bundle across the loop-carried dependency and would pay
+        # a second reduction latency per iteration) — convergence is
+        # detected one iteration late.
         gamma = vdot(st.r, st.u)
         delta = vdot(st.w, st.u)
+        residual = jnp.sqrt(vdot(st.r, st.r).real).astype(st.residual.dtype)
         # next SpMV issued before alpha/beta consume the reductions -> XLA
         # overlaps the allreduce with the matvec
         m = Pl.ldiv(st.w)
@@ -101,12 +110,15 @@ def _pipecg_core(op, b, x0, Pl, reltol, abstol, maxiter, initially_zero):
         r = st.r - alpha * s
         u = st.u - alpha * q
         w = st.w - alpha * z
-        residual = norm(r)
+        # residual is ||r_k|| (incoming state): slot k-1 keeps the series
+        # aligned with the other solvers (slot i = residual after iter i+1);
+        # the k=0 write lands out of bounds and is dropped (scatter-drop)
+        log_idx = jnp.where(first, st.resnorm_log.shape[0], st.k - 1)
         return PipeCGState(
             x=x, r=r, u=u, w=w, z=z, q=q, s=s, p=p,
             gamma=gamma, alpha=alpha,
             residual=residual, tol=st.tol, k=st.k + 1,
-            resnorm_log=st.resnorm_log.at[st.k].set(residual),
+            resnorm_log=st.resnorm_log.at[log_idx].set(residual),
         )
 
     final = run_chunked(
@@ -117,11 +129,14 @@ def _pipecg_core(op, b, x0, Pl, reltol, abstol, maxiter, initially_zero):
         iters=final.k,
         converged=final.residual <= final.tol,
         resnorm=final.residual,
-        log={"resnorm": (final.resnorm_log, final.k)},
+        # k steps logged slots 0..k-2 (the k=0 lagged write is dropped)
+        log={"resnorm": (final.resnorm_log,
+                         jnp.maximum(final.k - 1, 0))},
     )
 
 
-_pipecg_jit = jax.jit(_pipecg_core, static_argnames=("maxiter", "initially_zero"))
+_pipecg_jit = jax.jit(with_highest_precision(_pipecg_core),
+                      static_argnames=("maxiter", "initially_zero"))
 
 
 def pipelined_cg(

@@ -30,7 +30,7 @@ import numpy as np
 
 from ..operators.linear_operator import as_operator
 from ..utils.dtypes import eps, real_dtype
-from .common import SolveResult, SolverIterator, make_history, norm, vdot, run_chunked
+from .common import SolveResult, SolverIterator, make_history, norm, vdot, run_chunked, with_highest_precision
 
 __all__ = ["powm", "invpowm", "powm_iterator"]
 
@@ -93,6 +93,7 @@ def _power_done(state: PowerState, tol, maxiter: int):
 
 
 @partial(jax.jit, static_argnames=("maxiter", "verbose"))
+@with_highest_precision
 def _power_solve(op, x0, tol, maxiter, verbose):
     final = run_chunked(
         lambda s: _power_step(op, s, verbose, tol, maxiter),

@@ -33,7 +33,7 @@ import numpy as np
 from ..operators.sparse import CSRMatrix, DIAMatrix, ELLMatrix, HYBMatrix, csr_from_dense
 from ..ops.triangular import LevelScheduledTriangular
 from ..utils.dtypes import solve_dtype
-from .common import SolverIterator
+from .common import SolverIterator, with_highest_precision
 
 __all__ = [
     "jacobi",
@@ -229,6 +229,7 @@ def _make_mc_sweep(method: str, ncolors: int):
 
 
 @partial(jax.jit, static_argnames=("method", "maxiter"))
+@with_highest_precision
 def _run(split: _Split, b, x0, omega, method: str, maxiter: int):
     sweep = _SWEEPS[method]
     return jax.lax.fori_loop(
@@ -237,6 +238,7 @@ def _run(split: _Split, b, x0, omega, method: str, maxiter: int):
 
 
 @partial(jax.jit, static_argnames=("method", "maxiter", "ncolors"))
+@with_highest_precision
 def _run_mc(split: _Split, color, b, x0, omega, method: str, maxiter: int,
             ncolors: int):
     sweep = _make_mc_sweep(method, ncolors)

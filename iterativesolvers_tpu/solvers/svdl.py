@@ -226,8 +226,11 @@ def _ritz_and_bounds_core(L: PartialFactorization):
     k = s.shape[0]
     diff = diff + jnp.eye(k, dtype=diff.dtype) * jnp.inf
     gap = jnp.min(diff)
-    refined = jnp.minimum(dsig, dsig**2 / gap)
-    delta = jnp.where(2 * dsig <= gap, refined, dsig)
+    # gap == 0 (exactly coincident Ritz values, e.g. two locked ones) would
+    # make dsig^2/gap NaN even when dsig == 0; fall back to the raw bound
+    safe_gap = jnp.where(gap > 0, gap, 1)
+    refined = jnp.minimum(dsig, dsig**2 / safe_gap)
+    delta = jnp.where((2 * dsig <= gap) & (gap > 0), refined, dsig)
     return U, s, V, dsig, delta
 
 

@@ -77,3 +77,19 @@ def test_iterator_state_is_checkpoint(rng):
     x_resumed = np.asarray(it2.x)
     x_straight = np.asarray(its.cg(A, b, reltol=1e-12, maxiter=200))
     np.testing.assert_allclose(x_resumed, x_straight, rtol=1e-10)
+
+
+def test_idrs_smoothing_iterator_x_matches_yielded_norm(rng):
+    """With smoothing=True the yielded value is norm(R_s); .x must expose the
+    matching smoothed iterate X_s, not the raw one."""
+    n = 40
+    A = _spd(rng, n) + np.triu(rng.random((n, n)), 1) * 0.1
+    b = rng.random(n)
+    it = its.idrs_iterator(A, b, s=4, reltol=1e-9, smoothing=True)
+    last = None
+    for v in it:
+        last = float(v)
+    x = np.asarray(it.x)
+    true_res = np.linalg.norm(np.asarray(A) @ x - b)
+    # the smoothed norm is an exact recurrence for norm(b - A X_s)
+    np.testing.assert_allclose(true_res, last, rtol=1e-5, atol=1e-9)

@@ -54,6 +54,16 @@ class LinearOperator:
         y = self.mv(x)
         return y, jnp.sum(jnp.conj(x) * y)
 
+    def mv_rows(self, Xr):
+        """Row-panel SpMM: ``Xr`` is (k, n) with VECTORS AS ROWS; returns the
+        (k, m) row panel of ``A @ x`` per row.  Block solvers (LOBPCG) keep
+        panels in this layout because a (n, k) column panel pads its minor
+        dim to the 128-lane tile on TPU (8-32x HBM bloat for small k).  The
+        default transposes through ``mv`` (correct for any operator,
+        including shard_map-distributed ones); concrete formats override
+        with a vmapped kernel that never materializes the padded layout."""
+        return jnp.swapaxes(self.mv(jnp.swapaxes(Xr, 0, 1)), 0, 1)
+
     # Conveniences mirroring the Julia surface.
     def __matmul__(self, x):
         return self.mv(x)
@@ -94,6 +104,10 @@ class MatrixOperator(LinearOperator):
 
     def rmv(self, x):
         return jnp.conj(self.mat).T @ x
+
+    def mv_rows(self, Xr):
+        # (A X)^T = X^T A^T: one GEMM, minor dim stays n
+        return Xr @ self.mat.T
 
     def to_dense(self):
         return self.mat

@@ -148,6 +148,9 @@ class CSRMatrix(LinearOperator):
         vals = d * x[self.row_ids]
         return jax.ops.segment_sum(vals, self.indices, num_segments=self._shape[1])
 
+    def mv_rows(self, Xr):
+        return jax.vmap(self.mv)(Xr)
+
     def to_dense(self):
         out = jnp.zeros(self._shape, dtype=self.dtype)
         return out.at[self.row_ids, self.indices].add(self.data)
@@ -428,6 +431,9 @@ class ELLMatrix(LinearOperator):
         d = self.data if x.ndim == 1 else self.data[..., None]
         return jnp.sum(d * g, axis=1)
 
+    def mv_rows(self, Xr):
+        return jax.vmap(self.mv)(Xr)
+
     def rmv(self, x):
         if self.adj is not None:
             return self.adj.mv(x)
@@ -518,6 +524,9 @@ class HYBMatrix(LinearOperator):
             contrib, self.tail_rows, num_segments=self._shape[0],
             indices_are_sorted=True,
         )
+
+    def mv_rows(self, Xr):
+        return jax.vmap(self.mv)(Xr)
 
     def rmv(self, x):
         if self.adj is not None:
@@ -629,6 +638,9 @@ class DIAMatrix(LinearOperator):
             d = self.diags[k] if x.ndim == 1 else self.diags[k][:, None]
             y = y + d * jax.lax.dynamic_slice_in_dim(xp, pad + off, n, axis=0)
         return y
+
+    def mv_rows(self, Xr):
+        return jax.vmap(self.mv)(Xr)
 
     def rmv(self, x):
         n, m = self._shape
@@ -762,6 +774,9 @@ class BSRMatrix(LinearOperator):
             indices_are_sorted=True,
         )
         return yb.reshape(self._shape[0], *x.shape[1:])
+
+    def mv_rows(self, Xr):
+        return jax.vmap(self.mv)(Xr)
 
     def rmv(self, x):
         bs = self.block_size

@@ -120,6 +120,11 @@ class StencilOperator(LinearOperator):
             return self._pallas_apply(plan, x, conj=False)
         return self._apply(x, conj=False)
 
+    def mv_rows(self, Xr):
+        # vmapped XLA path (batched shifted slices keep the minor dim n;
+        # the Pallas kernel is single-vector and is not batched here)
+        return jax.vmap(lambda v: self._apply(v, conj=False))(Xr)
+
     def rmv(self, x):
         plan = self._pallas_plan(x, conj=True)
         if plan is not None:

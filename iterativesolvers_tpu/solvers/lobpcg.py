@@ -24,6 +24,13 @@ Design differences from the reference, chosen for TPU/XLA:
 Per iteration: 2 block SpMMs (A@W, B@W) + ~12 tall-skinny gemms — all MXU
 work; the k x k and 3k x 3k factorizations run on device via ``jnp.linalg``.
 
+All panels are stored with VECTORS AS ROWS, (k, n) — a (n, k) column panel
+pads its minor dimension to the 128-lane TPU tile, an 8-32x HBM bloat for
+typical block sizes (CLAUDE.md layout rule).  Gram matrices contract the
+minor dim via einsum (no transposed copies); SpMMs go through the
+operators' ``mv_rows``; the public API keeps the reference's (n, k)
+column convention at the boundary.
+
 Constraints (deflation against given Y, ~ ``Constraint``,
 src/lobpcg.jl:144-224) B-project the search directions out of span(Y);
 ``nev > blocksize`` accumulates converged pairs in an outer host loop exactly
@@ -73,53 +80,65 @@ class LOBPCGResults(NamedTuple):
 # ---------------------------------------------------------------------------
 
 
-def _chol_factor(V, BV):
+def _gram(Vr, Wr):
+    """(k, k) Gram G[i, j] = <v_i, w_j> of two row panels (vectors as rows,
+    CLAUDE.md layout rule: a (n, k) column panel pads its minor dim to the
+    128-lane tile on TPU).  einsum contracts the minor dim directly — no
+    transposed copy is materialized."""
+    return jnp.einsum("in,jn->ij", jnp.conj(Vr), Wr)
+
+
+def _chol_factor(Vr, BVr):
     """Lower Cholesky factor of the (jittered, Hermitized) B-gram V'BV."""
-    G = V.conj().T @ BV
+    G = _gram(Vr, BVr)
     G = 0.5 * (G + G.conj().T)
-    eps = jnp.finfo(real_dtype(V.dtype)).eps
+    eps = jnp.finfo(real_dtype(Vr.dtype)).eps
     jitter = 10.0 * eps * jnp.abs(jnp.trace(G)) / G.shape[1] + jnp.finfo(
-        real_dtype(V.dtype)
+        real_dtype(Vr.dtype)
     ).tiny
     G = G + jitter * jnp.eye(G.shape[0], dtype=G.dtype)
     return jnp.linalg.cholesky(G)
 
 
-def _orthonormalize_masked(V, BV, *images):
-    """B-orthonormalize (V, BV, images...) by column-scaled CholQR, zeroing
-    columns that are numerically dependent (the static-shape analogue of the
-    reference's dynamic block compression, src/lobpcg.jl:549-562).
+def _orthonormalize_masked(Vr, BVr, *images):
+    """B-orthonormalize (V, BV, images...) by vector-scaled CholQR, zeroing
+    vectors that are numerically dependent (the static-shape analogue of the
+    reference's dynamic block compression, src/lobpcg.jl:549-562).  All
+    panels are (k, n) rows.
 
-    Returns ``(V, BV, *images, alive)`` where ``alive`` is a boolean column
-    mask.  Dead columns are exactly zero, so they decouple *exactly* in any
+    Returns ``(V, BV, *images, alive)`` where ``alive`` is a boolean row
+    mask.  Dead rows are exactly zero, so they decouple *exactly* in any
     downstream Gram matrix — no ill-conditioned directions leak into the
     Rayleigh-Ritz basis (critical in f32).
     """
-    rt = real_dtype(V.dtype)
+    rt = real_dtype(Vr.dtype)
     eps = jnp.finfo(rt).eps
-    # scale columns to unit B-norm so Cholesky diag measures independence
-    bn = jnp.sqrt(jnp.maximum(jnp.real(jnp.sum(jnp.conj(V) * BV, axis=0)), 0.0))
+    # scale vectors to unit B-norm so Cholesky diag measures independence
+    bn = jnp.sqrt(jnp.maximum(jnp.real(jnp.sum(jnp.conj(Vr) * BVr, axis=1)), 0.0))
     ref = jnp.maximum(jnp.max(bn), jnp.finfo(rt).tiny)
     nonzero = bn > (eps * ref)
     scale = jnp.where(nonzero, 1.0 / jnp.where(nonzero, bn, 1.0), 0.0)
-    V = V * scale[None, :]
-    BV = BV * scale[None, :]
-    images = tuple(M * scale[None, :] for M in images)
-    R = _chol_factor(V, BV)
-    # diag(R) in (0, 1]: sin of the angle to the span of previous columns
+    Vr = Vr * scale[:, None]
+    BVr = BVr * scale[:, None]
+    images = tuple(M * scale[:, None] for M in images)
+    R = _chol_factor(Vr, BVr)
+    # diag(R) in (0, 1]: sin of the angle to the span of previous vectors
     alive = nonzero & (jnp.real(jnp.diagonal(R)) > 10.0 * jnp.sqrt(eps))
-    mask = alive.astype(V.dtype)[None, :]
-    outs = _apply_rinv(R, V, BV, *images)
+    mask = alive.astype(Vr.dtype)[:, None]
+    outs = _apply_rinv(R, Vr, BVr, *images)
     return tuple(o * mask for o in outs) + (alive,)
 
 
 def _apply_rinv(R, *mats):
-    """Right-multiply each matrix by R^{-H} (solve X R^H = M).  Because the
-    transform acts on columns, the A/B images of a block transform the same
-    way — pass them together to keep (V, AV, BV) consistent."""
+    """Apply the CholQR basis transform V <- V R^{-H} in row layout:
+    Vr_new = conj(R)^{-1} Vr (solve conj(R) X = M, lower-triangular left
+    side).  Because the transform acts on the vectors, the A/B images of a
+    block transform the same way — pass them together to keep (V, AV, BV)
+    consistent."""
     out = tuple(
         jax.lax.linalg.triangular_solve(
-            R, M, left_side=False, lower=True, conjugate_a=True, transpose_a=True
+            R, M, left_side=True, lower=True, conjugate_a=True,
+            transpose_a=False,
         )
         for M in mats
     )
@@ -169,63 +188,77 @@ def _rayleigh_ritz(G, k, largest: bool, alive=None):
 from .common import with_highest_precision as _with_highest_precision  # noqa: E402
 
 
-def _bmv(opB, V):
-    return opB.mv(V) if opB is not None else V
+def _bmv(opB, Vr):
+    return opB.mv_rows(Vr) if opB is not None else Vr
 
 
-def _deflate(Y, BY, V):
-    return V - Y @ (BY.conj().T @ V) if Y is not None else V
+def _deflate(Yr, BYr, Vr):
+    """B-project span(Y) out of the row panel: V - Y (BY^H V) in row layout
+    is Vr - (Vr conj(BYr)^T) Yr."""
+    if Yr is None:
+        return Vr
+    return Vr - jnp.einsum("kn,mn->km", Vr, jnp.conj(BYr)) @ Yr
 
 
-def _ritz_and_split(Sb, ASb, BSb, alive, k, largest):
-    """Rayleigh-Ritz on a B-orthonormal (possibly column-masked) basis;
+def _project_out(Vr, Xr, BXr):
+    """Vr minus its B-projection onto the rows of Xr (assumed B-orthonormal
+    against BXr): V - X (BX^H V) in row layout."""
+    return Vr - jnp.einsum("kn,jn->kj", Vr, jnp.conj(BXr)) @ Xr
+
+
+def _ritz_and_split(Sbr, ASbr, BSbr, alive, k, largest):
+    """Rayleigh-Ritz on a B-orthonormal (possibly row-masked) basis;
     return new (X, AX, BX) and the B-orthonormalized direction block
     (P, AP, BP) from the W/P coefficients only (~ update_X_P!,
-    src/lobpcg.jl:629-690)."""
-    G = Sb.conj().T @ ASb
+    src/lobpcg.jl:629-690).  All panels (rows = vectors)."""
+    G = _gram(Sbr, ASbr)
     G = 0.5 * (G + G.conj().T)
     lam, C = _rayleigh_ritz(G, k, largest, alive=alive)
-    X, AX, BX = Sb @ C, ASb @ C, BSb @ C
+    # column update X = Sb C is the row update Xr = C^T Sbr
+    Ct = C.T
+    X, AX, BX = Ct @ Sbr, Ct @ ASbr, Ct @ BSbr
     # restore exact unit B-norm (selected pairs can carry a tiny dead-
     # coordinate weight in degenerate clusters)
-    xn = jnp.sqrt(jnp.maximum(jnp.real(jnp.sum(jnp.conj(X) * BX, axis=0)), 0.0))
-    s = jnp.where(xn > 0, 1.0 / jnp.where(xn > 0, xn, 1.0), 0.0)[None, :]
+    xn = jnp.sqrt(jnp.maximum(jnp.real(jnp.sum(jnp.conj(X) * BX, axis=1)), 0.0))
+    s = jnp.where(xn > 0, 1.0 / jnp.where(xn > 0, xn, 1.0), 0.0)[:, None]
     X, AX, BX = X * s, AX * s, BX * s
-    Cp = C[k:, :]
-    P = Sb[:, k:] @ Cp
-    AP = ASb[:, k:] @ Cp
-    BP = BSb[:, k:] @ Cp
+    Cpt = C[k:, :].T
+    P = Cpt @ Sbr[k:]
+    AP = Cpt @ ASbr[k:]
+    BP = Cpt @ BSbr[k:]
     P, BP, AP, _ = _orthonormalize_masked(P, BP, AP)
     return X, AX, BX, P, AP, BP, lam
 
 
-def _make_w(opA, opB, prec, Y, BY, S, extra_proj=None):
-    R_blk = S.AX - S.BX * S.lam[None, :]
-    resn = jnp.linalg.norm(R_blk, axis=0)
-    W = prec.ldiv(R_blk)
-    W = _deflate(Y, BY, W)
-    W = W - S.X @ (S.BX.conj().T @ W)
+def _make_w(opA, opB, prec, Yr, BYr, S, extra_proj=None):
+    R_blk = S.AX - S.BX * S.lam[:, None]
+    resn = jnp.linalg.norm(R_blk, axis=1)
+    W = jax.vmap(prec.ldiv)(R_blk)
+    W = _deflate(Yr, BYr, W)
+    W = _project_out(W, S.X, S.BX)
     if extra_proj is not None:
         Pb, BPb = extra_proj
-        W = W - Pb @ (BPb.conj().T @ W)
+        W = _project_out(W, Pb, BPb)
     BW = _bmv(opB, W)
     W, BW, alive_w = _orthonormalize_masked(W, BW)
-    AW = opA.mv(W)
+    AW = opA.mv_rows(W)
     return W, AW, BW, alive_w, resn
 
 
 @partial(jax.jit, static_argnames=("largest", "maxiter"))
 @_with_highest_precision
-def _lobpcg_init(opA, opB, prec, Y, BY, X0, largest, maxiter):
-    k = X0.shape[1]
-    X = _deflate(Y, BY, X0)
+def _lobpcg_init(opA, opB, prec, Y, BY, X0r, largest, maxiter):
+    # all panels (k, n): vectors as rows (CLAUDE.md layout rule)
+    k = X0r.shape[0]
+    X = _deflate(Y, BY, X0r)
     BX = _bmv(opB, X)
     X, BX, _ = _orthonormalize_masked(X, BX)
-    AX = opA.mv(X)
-    G = X.conj().T @ AX
+    AX = opA.mv_rows(X)
+    G = _gram(X, AX)
     G = 0.5 * (G + G.conj().T)
     lam, C = _rayleigh_ritz(G, k, largest)
-    X, AX, BX = X @ C, AX @ C, BX @ C
+    Ct = C.T
+    X, AX, BX = Ct @ X, Ct @ AX, Ct @ BX
     rt = real_dtype(X.dtype)
     return _LState(
         X=X, AX=AX, BX=BX,
@@ -241,11 +274,11 @@ def _lobpcg_init(opA, opB, prec, Y, BY, X0, largest, maxiter):
 @_with_highest_precision
 def _lobpcg_first(opA, opB, prec, Y, BY, S, largest):
     # span{X, W} (src/lobpcg.jl:692-711)
-    k = S.X.shape[1]
+    k = S.X.shape[0]
     W, AW, BW, alive_w, resn = _make_w(opA, opB, prec, Y, BY, S)
-    Sb = jnp.concatenate([S.X, W], axis=1)
-    ASb = jnp.concatenate([S.AX, AW], axis=1)
-    BSb = jnp.concatenate([S.BX, BW], axis=1)
+    Sb = jnp.concatenate([S.X, W], axis=0)
+    ASb = jnp.concatenate([S.AX, AW], axis=0)
+    BSb = jnp.concatenate([S.BX, BW], axis=0)
     alive = jnp.concatenate([jnp.ones((k,), bool), alive_w])
     X, AX, BX, P, AP, BP, lam = _ritz_and_split(Sb, ASb, BSb, alive, k, largest)
     return _LState(
@@ -259,18 +292,20 @@ def _lobpcg_main_step(opA, opB, prec, Y, BY, S, largest):
     # span{X, W, P} (src/lobpcg.jl:712-749).  P from the previous Ritz
     # step is B-orthonormal but not B-orthogonal to the new X (they mix
     # through C), so re-orthogonalize P against X first — keeping the
-    # A/B images consistent under the same column transforms.
-    k = S.X.shape[1]
-    Cxp = S.BX.conj().T @ S.P
-    P = S.P - S.X @ Cxp
-    AP = S.AP - S.AX @ Cxp
-    BP = S.BP - S.BX @ Cxp
+    # A/B images consistent under the same basis transforms.  Row layout:
+    # the column transform P -= X Cxp with Cxp = BX^H P becomes
+    # Pr -= Cxp^T Xr with Cxp^T = Pr conj(BXr)^T.
+    k = S.X.shape[0]
+    Cxpt = jnp.einsum("kn,jn->kj", S.P, jnp.conj(S.BX))
+    P = S.P - Cxpt @ S.X
+    AP = S.AP - Cxpt @ S.AX
+    BP = S.BP - Cxpt @ S.BX
     P, BP, AP, alive_p = _orthonormalize_masked(P, BP, AP)
     W, AW, BW, alive_w, resn = _make_w(opA, opB, prec, Y, BY, S,
                                        extra_proj=(P, BP))
-    Sb = jnp.concatenate([S.X, W, P], axis=1)
-    ASb = jnp.concatenate([S.AX, AW, AP], axis=1)
-    BSb = jnp.concatenate([S.BX, BW, BP], axis=1)
+    Sb = jnp.concatenate([S.X, W, P], axis=0)
+    ASb = jnp.concatenate([S.AX, AW, AP], axis=0)
+    BSb = jnp.concatenate([S.BX, BW, BP], axis=0)
     alive = jnp.concatenate([jnp.ones((k,), bool), alive_w, alive_p])
     X, AX, BX, Pn, APn, BPn, lam = _ritz_and_split(Sb, ASb, BSb, alive, k, largest)
     return _LState(
@@ -292,19 +327,19 @@ def _lobpcg_main(opA, opB, prec, Y, BY, S, tol, largest, maxiter):
         S,
         chunk=8,
     )
-    R_blk = S.AX - S.BX * S.lam[None, :]
-    return S, jnp.linalg.norm(R_blk, axis=0)
+    R_blk = S.AX - S.BX * S.lam[:, None]
+    return S, jnp.linalg.norm(R_blk, axis=1)
 
 
-def _lobpcg_run(opA, opB, prec, X0, Y, BY, largest, tol, maxiter):
-    S = _lobpcg_init(opA, opB, prec, Y, BY, X0, largest, maxiter)
+def _lobpcg_run(opA, opB, prec, X0r, Y, BY, largest, tol, maxiter):
+    S = _lobpcg_init(opA, opB, prec, Y, BY, X0r, largest, maxiter)
     if maxiter >= 1:
         S = _lobpcg_first(opA, opB, prec, Y, BY, S, largest)
     if maxiter >= 2 and bool(jnp.any(S.resnorms > tol)):
         S, final_resn = _lobpcg_main(opA, opB, prec, Y, BY, S, tol, largest, maxiter)
     else:
-        R_blk = S.AX - S.BX * S.lam[None, :]
-        final_resn = jnp.linalg.norm(R_blk, axis=0)
+        R_blk = S.AX - S.BX * S.lam[:, None]
+        final_resn = jnp.linalg.norm(R_blk, axis=1)
     return S, final_resn
 
 
@@ -350,21 +385,21 @@ def lobpcg(
     rt = real_dtype(X0.dtype)
     tol_ = jnp.asarray(tol, rt)
 
-    def _orthonormal_constraint(Ymat):
-        BYm = opB.mv(Ymat) if opB is not None else Ymat
-        Rc = _chol_factor(Ymat, BYm)
-        return _apply_rinv(Rc, Ymat, BYm)
+    def _orthonormal_constraint(Yr):
+        BYr = opB.mv_rows(Yr) if opB is not None else Yr
+        Rc = _chol_factor(Yr, BYr)
+        return _apply_rinv(Rc, Yr, BYr)
 
     Y = BY = None
     if C is not None:
-        Y, BY = _orthonormal_constraint(jnp.asarray(C))
+        Y, BY = _orthonormal_constraint(jnp.asarray(C).T)
 
     lam_out, X_out, res_out = [], [], []
     batch_iters: list[int] = []
     batch_traces: list[np.ndarray] = []
     converged_all = True
     key = jax.random.PRNGKey(42)
-    Xcur = X0
+    Xcur = X0.T  # internal layout: vectors as rows (bs, n)
     remaining = nev
     while remaining > 0:
         S, final_resn = _lobpcg_run(
@@ -377,7 +412,7 @@ def lobpcg(
             )
         take = min(bs, remaining)
         lam_out.append(S.lam[:take])
-        X_out.append(S.X[:, :take])
+        X_out.append(S.X[:take])
         res_out.append(final_resn[:take])
         # convergence is judged on the loop's stored residuals, like the
         # reference (src/lobpcg.jl:890) — final_resn is the (slightly
@@ -385,14 +420,14 @@ def lobpcg(
         converged_all &= bool(jnp.all(S.resnorms[:take] <= tol_))
         remaining -= take
         if remaining > 0:
-            newY = S.X[:, :take]
-            Yfull = newY if Y is None else jnp.concatenate([Y, newY], axis=1)
+            newY = S.X[:take]
+            Yfull = newY if Y is None else jnp.concatenate([Y, newY], axis=0)
             Y, BY = _orthonormal_constraint(Yfull)
             key, sub = jax.random.split(key)
-            Xcur = jax.random.normal(sub, (n, bs), rt).astype(X0.dtype)
+            Xcur = jax.random.normal(sub, (bs, n), rt).astype(X0.dtype)
 
     lam = jnp.concatenate(lam_out)
-    X = jnp.concatenate(X_out, axis=1)
+    X = jnp.concatenate(X_out, axis=0).T  # back to the (n, nev) public layout
     resn = jnp.concatenate(res_out)
 
     iterations = int(sum(batch_iters))

@@ -365,3 +365,32 @@ def test_auto_format_block_structure(rng):
     # dense blocks on a block-tridiagonal: DIA would stream 3*bs diagonals
     # (similar cost) — accept either structured pick, but never a gather fmt
     assert isinstance(op, (BSRMatrix,)) or type(op).__name__ == "DIAMatrix"
+
+
+@pytest.mark.parametrize("dtype", [np.float32, np.float64, np.complex64])
+def test_mv_rows_matches_dense_all_formats(rng, dtype):
+    """Row-panel SpMM contract: op.mv_rows((k, n) rows) == (A @ X).T for
+    every format (block solvers keep panels as rows — CLAUDE.md layout)."""
+    from iterativesolvers_tpu.operators.linear_operator import MatrixOperator
+    from iterativesolvers_tpu.operators.stencil import laplacian
+    from iterativesolvers_tpu.utils.fixtures import laplace_dia
+
+    A = laplace_dia(8, 2, dtype=dtype)
+    Ad = np.asarray(A.to_dense())
+    Xr = jnp.asarray(
+        (rng.random((3, 64)) + (1j * rng.random((3, 64))
+         if np.issubdtype(dtype, np.complexfloating) else 0)).astype(dtype))
+    want = (Ad @ np.asarray(Xr).T).T
+    ops = [A, A.to_csr(), A.to_csr().to_ell(), A.to_csr().to_hyb(),
+           MatrixOperator(jnp.asarray(Ad))]
+    if not np.issubdtype(dtype, np.complexfloating):
+        ops.append(laplacian(8, 2, dtype=dtype))
+    csr = A.to_csr()
+    bsr = csr.to_bsr(2) if hasattr(csr, "to_bsr") else None
+    if bsr is not None:
+        ops.append(bsr)
+    rt = 1e-5 if dtype in (np.float32, np.complex64) else 1e-12
+    for op in ops:
+        got = np.asarray(op.mv_rows(Xr))
+        np.testing.assert_allclose(got, want, rtol=rt, atol=1e-6,
+                                   err_msg=type(op).__name__)

@@ -159,6 +159,12 @@ class FunctionOperator(LinearOperator):
             return super().rmv(x)
         return self._rmatvec(*self.params, x) if self.params else self._rmatvec(x)
 
+    def mv_rows(self, Xr):
+        # a user matvec typically handles a single (n,) vector only (e.g.
+        # reshapes to a grid internally) — vmap it rather than feeding it a
+        # 2-D array through the transpose default
+        return jax.vmap(self.mv)(Xr)
+
     def tree_flatten(self):
         return self.params, (self._matvec, self._rmatvec, self._shape, self._dtype)
 

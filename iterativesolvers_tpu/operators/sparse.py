@@ -106,21 +106,13 @@ class CSRMatrix(LinearOperator):
 
             indptr, indices, data64 = coo_to_csr(rows, cols, vals, shape[0])
             return cls(data64.astype(vals.dtype), indices, indptr, shape)
-        order = np.lexsort((cols, rows))
-        rows, cols, vals = rows[order], cols[order], vals[order]
-        # merge duplicates
-        if rows.size:
-            key_new = np.empty(rows.size, dtype=bool)
-            key_new[0] = True
-            key_new[1:] = (rows[1:] != rows[:-1]) | (cols[1:] != cols[:-1])
-            group = np.cumsum(key_new) - 1
-            merged_vals = np.zeros(int(group[-1]) + 1, dtype=vals.dtype)
-            np.add.at(merged_vals, group, vals)
-            rows, cols, vals = rows[key_new], cols[key_new], merged_vals
-        indptr = np.zeros(shape[0] + 1, dtype=np.int64)
-        np.add.at(indptr, rows + 1, 1)
-        indptr = np.cumsum(indptr)
-        return cls(vals, cols, indptr, shape)
+        # complex values: the numpy sort/merge fallback is dtype-generic —
+        # share one implementation with the native module so the
+        # duplicate-merge/indptr logic cannot drift
+        from ..native import _coo_to_csr_numpy
+
+        indptr, indices, data = _coo_to_csr_numpy(rows, cols, vals, shape[0])
+        return cls(data, indices, indptr, shape)
 
     @property
     def shape(self):
@@ -220,9 +212,10 @@ class CSRMatrix(LinearOperator):
         offsets = np.unique(cols - rows)
         n = self._shape[0]
         data = np.zeros((offsets.size, n), dtype=vals.dtype)
-        off_pos = {int(o): i for i, o in enumerate(offsets)}
-        for r, c, v in zip(rows, cols, vals):
-            data[off_pos[int(c - r)], r] = v
+        # vectorized one-pass scatter (this is the auto_format RCM->DIA path
+        # for large matrices; a per-nonzero Python loop would take minutes)
+        off_idx = np.searchsorted(offsets, cols - rows)
+        data[off_idx, rows] = vals
         return DIAMatrix(data, tuple(int(o) for o in offsets), self._shape)
 
     def diagonal(self):
@@ -322,16 +315,26 @@ class CSRMatrix(LinearOperator):
             GATHER * float(max(stats["max_degree"], 1)) * n,
             lambda: (self.to_ell(), None),
         )
-        # HYB cost: evaluate the same model to_hyb minimizes
+        # HYB cost: the SAME objective to_hyb minimizes (ELL element = one
+        # gather, tail element = tail_cost gathers for the gather +
+        # scatter-add), scaled by GATHER into this model's streamed units —
+        # and the argmin w is passed to to_hyb so the built operator is
+        # exactly the one that was costed
         indptr = self._host("indptr").astype(np.int64)
         counts = np.diff(indptr)
         if counts.size:
             cands = np.unique(np.concatenate([[1], counts[counts > 0]]))
-            hyb_cost = min(
-                GATHER * (n * int(w) + float(np.maximum(counts - w, 0).sum()))
-                for w in cands
+            hyb_w, hyb_cost = 1, float("inf")
+            for w in cands:
+                tail = float(np.maximum(counts - w, 0).sum())
+                c = GATHER * (n * int(w) + tail_cost * tail)
+                if c < hyb_cost:
+                    hyb_w, hyb_cost = int(w), c
+            candidates["hyb"] = (
+                hyb_cost,
+                lambda: (self.to_hyb(row_width=hyb_w,
+                                     tail_cost=tail_cost), None),
             )
-            candidates["hyb"] = (hyb_cost, lambda: (self.to_hyb(), None))
         # BSR: estimate block fill for a few block sizes
         rows = self._host("row_ids").astype(np.int64)
         cols = self._host("indices").astype(np.int64)
@@ -691,12 +694,17 @@ class DIAMatrix(LinearOperator):
         )
 
     def diagonal(self):
+        """DIA storage cannot distinguish a structurally-missing diagonal
+        entry from an explicit zero (to_dia stores 0 either way), so the
+        presence mask is ``d != 0`` — which matches the check's purpose
+        exactly: the reference's DiagonalIndices throws SingularException
+        for missing OR zero entries alike (src/stationary_sparse.jl:18-28)."""
         if 0 not in self.offsets:
             d = np.zeros(min(self._shape), dtype=self.dtype)
             return d, np.zeros(min(self._shape), dtype=bool)
         k = self.offsets.index(0)
         d = self._host_diag(k)[: min(self._shape)]
-        return d, np.ones(min(self._shape), dtype=bool)
+        return d, np.asarray(d) != 0
 
     def tree_flatten(self):
         return (self.diags,), (self.offsets, self._shape)

@@ -13,8 +13,9 @@ dynamic shapes.  Methods:
   * ``"cgs"``  — classical Gram-Schmidt: two tall-skinny GEMVs
     (src/orthogonalize.jl:41-51) — the MXU-friendly choice.
   * ``"dgks"`` — CGS with conditional re-orthogonalization while
-    ``nrm < eta * |h|`` with eta = 1/sqrt(2), the ARPACK constant
-    (src/orthogonalize.jl:15-39); iteration-capped for bounded compile.
+    ``nrm < eta * norm(latest correction)`` with eta = 1/sqrt(2), the ARPACK
+    constant (src/orthogonalize.jl:15-39); masked fixed-trip loop (capped
+    repeats, no data-dependent while cond).
 """
 
 from __future__ import annotations
@@ -28,12 +29,45 @@ __all__ = ["orthogonalize_and_normalize", "orthogonalize_and_normalize_rows", "O
 
 ORTH_METHODS = ("mgs", "cgs", "dgks")
 _DGKS_ETA = 1.0 / jnp.sqrt(2.0)  # src/orthogonalize.jl:19 ("used by ARPACK")
-_DGKS_MAX_REPEATS = 4
+# "twice is enough": the reference notes the DGKS condition "is true only
+# once" typically (src/orthogonalize.jl:24-25); two capped repeats cover it
+_DGKS_MAX_REPEATS = 2
 
 
 def _project_cgs(V, w):
     h = jnp.conj(V).T @ w
     return h, w - V @ h
+
+
+def _dgks_loop(project, w, h):
+    """DGKS conditional re-orthogonalization (src/orthogonalize.jl:22-33):
+    repeat CGS while ``norm(w) < eta * norm(latest correction)`` — the
+    comparison is against the LATEST correction's size (the reference
+    updates ``projection_size`` inside the loop), initially ``norm(h)``.
+
+    Static-shape form: a masked ``fori_loop`` over the repeat cap instead of
+    a bare data-dependent ``while_loop`` (CLAUDE.md rule: the while cond
+    costs a sequencer sync per trip on TPU inside solver steps); a repeat
+    that the criterion would have skipped is a per-leaf no-op select."""
+
+    def body(_, carry):
+        w, h, nrm, proj, active = carry
+        corr, w2 = project(w)
+        nrm2 = norm(w2)
+        w = jnp.where(active, w2, w)
+        h = jnp.where(active, h + corr, h)
+        nrm_new = jnp.where(active, nrm2, nrm)
+        proj_new = jnp.where(active, norm(corr), proj)
+        return (w, h, nrm_new, proj_new,
+                active & (nrm_new < _DGKS_ETA * proj_new))
+
+    nrm0 = norm(w)
+    proj0 = norm(h)
+    active0 = nrm0 < _DGKS_ETA * proj0
+    w, h, _, _, _ = jax.lax.fori_loop(
+        0, _DGKS_MAX_REPEATS, body, (w, h, nrm0, proj0, active0)
+    )
+    return w, h
 
 
 def _mgs(V, w):
@@ -45,8 +79,10 @@ def _mgs(V, w):
         hj = jnp.sum(jnp.conj(vj) * w)
         return w - hj * vj, h.at[j].set(hj)
 
-    h0 = jnp.zeros(m, dtype=jnp.result_type(V.dtype, w.dtype))
-    w, h = jax.lax.fori_loop(0, m, body, (w, h0))
+    dtype = jnp.result_type(V.dtype, w.dtype)
+    h0 = jnp.zeros(m, dtype=dtype)
+    # promote w so the fori carry dtype is loop-invariant (complex V, real w)
+    w, h = jax.lax.fori_loop(0, m, body, (w.astype(dtype), h0))
     return h, w
 
 
@@ -78,19 +114,7 @@ def orthogonalize_and_normalize_rows(Vt, w, method: str = "mgs"):
         h, w = _project_cgs_rows(Vt, w)
     elif method == "dgks":
         h, w = _project_cgs_rows(Vt, w)
-
-        def cond(state):
-            w, h, nrm, it = state
-            return (nrm < _DGKS_ETA * norm(h)) & (it < _DGKS_MAX_REPEATS)
-
-        def body(state):
-            w, h, nrm, it = state
-            correction, w = _project_cgs_rows(Vt, w)
-            return w, h + correction, norm(w), it + 1
-
-        w, h, _, _ = jax.lax.while_loop(
-            cond, body, (w, h, norm(w), jnp.zeros((), jnp.int32))
-        )
+        w, h = _dgks_loop(lambda v: _project_cgs_rows(Vt, v), w, h)
     else:
         raise ValueError(f"unknown orthogonalization method {method!r}")
     nrm = norm(w)
@@ -112,19 +136,7 @@ def orthogonalize_and_normalize(V, w, method: str = "mgs"):
         h, w = _project_cgs(V, w)
     elif method == "dgks":
         h, w = _project_cgs(V, w)
-
-        def cond(state):
-            w, h, nrm, it = state
-            return (nrm < _DGKS_ETA * norm(h)) & (it < _DGKS_MAX_REPEATS)
-
-        def body(state):
-            w, h, nrm, it = state
-            correction, w = _project_cgs(V, w)
-            return w, h + correction, norm(w), it + 1
-
-        w, h, _, _ = jax.lax.while_loop(
-            cond, body, (w, h, norm(w), jnp.zeros((), jnp.int32))
-        )
+        w, h = _dgks_loop(lambda v: _project_cgs(V, v), w, h)
     else:
         raise ValueError(f"unknown orthogonalization method {method!r}")
 

@@ -187,7 +187,10 @@ def _kernel(plan: StencilPlan, with_dot, n_inner, n_outer,
 
     # --- emit the stencil, one period-aligned chunk at a time ---
     center = scal[0, 0]
-    local = jnp.zeros((), win.dtype) if with_dot else None
+    # the fused <x, Ax> must accumulate in f32: a bf16 length-n reduction
+    # (8-bit mantissa) is O(1) relative error at n >= ~1e5, corrupting
+    # CG's alpha (pallas_mgs accumulates in f32 for the same reason)
+    local = jnp.zeros((), jnp.float32) if with_dot else None
     for rep in range(plan.reps):
         base = h + rep * P
         w0 = win[base:base + P]
@@ -200,7 +203,8 @@ def _kernel(plan: StencilPlan, with_dot, n_inner, n_outer,
             acc = acc + scal[0, 1 + t] * win[base + off:base + off + P]
         y_ref[rep * P:(rep + 1) * P] = acc
         if with_dot:
-            local = local + jnp.sum(w0 * acc)
+            local = local + jnp.sum(
+                w0.astype(jnp.float32) * acc.astype(jnp.float32))
 
     if with_dot:
         # sequential grid + constant (0,0) index map: accumulate in place
@@ -243,7 +247,8 @@ def stencil_apply(plan: StencilPlan, center, inner_coeffs, outer_coeffs, x,
     out_shape = [jax.ShapeDtypeStruct((plan.nb * plan.block,), dtype)]
     out_specs = [pl.BlockSpec((plan.block,), lambda i: (i,))]
     if with_dot:
-        out_shape.append(jax.ShapeDtypeStruct((1, 1), dtype))
+        # dot partial accumulates in f32 regardless of the stream dtype
+        out_shape.append(jax.ShapeDtypeStruct((1, 1), jnp.float32))
         out_specs.append(
             pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM))
 
@@ -266,5 +271,5 @@ def stencil_apply(plan: StencilPlan, center, inner_coeffs, outer_coeffs, x,
     )(*inputs)
     if with_dot:
         y, part = outs
-        return y[:plan.n], part[0, 0]
+        return y[:plan.n], part[0, 0].astype(jnp.float32)
     return outs[:plan.n]

@@ -94,7 +94,11 @@ class LevelScheduledTriangular:
         (D + T) y = rhs).  The SOR sweep is
         (D/w + L) x_new = (b - U x) + (1/w - 1) d*x  — see solvers/stationary.py."""
         n = self.n
-        dtype = jnp.result_type(self.vals.dtype, rhs.dtype)
+        # diag (and omega) participate in the division below — include them
+        # so a complex diagonal with real off-diagonals/rhs is not truncated
+        dtype = jnp.result_type(self.vals.dtype, rhs.dtype, self.diag.dtype)
+        if omega is not None:
+            dtype = jnp.result_type(dtype, jnp.asarray(omega).dtype)
         # pad slot n for masked scatter writes
         y = jnp.zeros(n + 1, dtype=dtype)
         diag = self.diag if omega is None else self.diag / omega

@@ -101,3 +101,8 @@ def test_dgks_reorthogonalizes_hard_case(rng):
     w0 = V[:, 0] + 1e-10 * rng.standard_normal(n)
     w, h, nrm = orthogonalize_and_normalize(jnp.asarray(V), jnp.asarray(w0), "dgks")
     assert np.max(np.abs(V.T @ np.asarray(w))) < 1e-8
+    # h must accumulate the re-orthogonalization corrections so the
+    # reconstruction identity still holds (src/orthogonalize.jl:31)
+    np.testing.assert_allclose(
+        V @ np.asarray(h) + float(nrm) * np.asarray(w), w0,
+        rtol=1e-8, atol=1e-12)

@@ -18,6 +18,8 @@ from .operators.preconditioners import (
     DensePreconditioner,
     DiagonalPreconditioner,
     FunctionPreconditioner,
+    ICPreconditioner,
+    ILUPreconditioner,
     IdentityPreconditioner,
     Preconditioner,
     as_preconditioner,

@@ -56,6 +56,8 @@ def get_lib() -> Optional[ctypes.CDLL]:
                 lib.level_schedule.restype = ctypes.c_int64
                 lib.mm_read.restype = ctypes.c_int64
                 lib.extract_diagonal.restype = ctypes.c_int64
+                lib.ilu0.restype = ctypes.c_int64
+                lib.ic0.restype = ctypes.c_int64
             _lib = lib
     return _lib
 
@@ -304,3 +306,92 @@ def rcm_order(indptr, indices, n: int):
         if seg.size:
             bw = max(bw, int(np.abs(inv[r] - inv[seg]).max()))
     return perm, bw
+
+
+def ilu0(indptr, indices, data, n: int):
+    """ILU(0) factorization in place on the CSR pattern (IKJ variant):
+    returns a copy of ``data`` whose strict lower part is L (unit diagonal
+    implied) and whose diagonal + strict upper are U.  Raises on zero pivot
+    or a structurally missing diagonal.  Native for real dtypes; generic
+    numpy fallback (also used for complex)."""
+    indptr = np.ascontiguousarray(indptr, np.int64)
+    indices = np.ascontiguousarray(indices, np.int32)
+    lib = get_lib()
+    if lib is None or np.iscomplexobj(data):
+        return _ilu0_numpy(indptr, indices, np.array(data), n)
+    out = np.ascontiguousarray(data, np.float64).copy()
+    bad = lib.ilu0(_ptr(indptr, _i64p), _ptr(indices, _i32p),
+                   _ptr(out, _f64p), ctypes.c_int64(n))
+    if bad >= 0:
+        raise ZeroDivisionError(f"ILU(0) zero/missing pivot at row {bad}")
+    return out.astype(np.asarray(data).dtype)
+
+
+def _ilu0_numpy(indptr, indices, data, n):
+    diag_ptr = np.full(n, -1, np.int64)
+    for r in range(n):
+        seg = indices[indptr[r]: indptr[r + 1]]
+        hit = np.nonzero(seg == r)[0]
+        if hit.size == 0:
+            raise ZeroDivisionError(f"ILU(0) zero/missing pivot at row {r}")
+        diag_ptr[r] = indptr[r] + int(hit[0])
+    pos = np.full(n, -1, np.int64)
+    for i in range(n):
+        lo, hi = int(indptr[i]), int(indptr[i + 1])
+        pos[indices[lo:hi]] = np.arange(lo, hi)
+        for p in range(lo, int(diag_ptr[i])):
+            k = int(indices[p])
+            piv = data[diag_ptr[k]]
+            if piv == 0:
+                raise ZeroDivisionError(f"ILU(0) zero/missing pivot at row {k}")
+            lik = data[p] / piv
+            data[p] = lik
+            q = slice(int(diag_ptr[k]) + 1, int(indptr[k + 1]))
+            r2 = pos[indices[q]]
+            ok = r2 >= 0
+            data[r2[ok]] -= lik * data[q][ok]
+        if data[diag_ptr[i]] == 0:
+            raise ZeroDivisionError(f"ILU(0) zero/missing pivot at row {i}")
+        pos[indices[lo:hi]] = -1
+    return data
+
+
+def ic0(indptr, indices, data, n: int):
+    """IC(0) on a LOWER-triangular CSR pattern (row r holds columns <= r,
+    sorted, diagonal last): returns the factor L with A ~= L L^H.  Raises on
+    breakdown (non-positive pivot)."""
+    indptr = np.ascontiguousarray(indptr, np.int64)
+    indices = np.ascontiguousarray(indices, np.int32)
+    lib = get_lib()
+    if lib is None or np.iscomplexobj(data):
+        return _ic0_numpy(indptr, indices, np.array(data), n)
+    out = np.ascontiguousarray(data, np.float64).copy()
+    bad = lib.ic0(_ptr(indptr, _i64p), _ptr(indices, _i32p),
+                  _ptr(out, _f64p), ctypes.c_int64(n))
+    if bad >= 0:
+        raise ZeroDivisionError(f"IC(0) breakdown at row {bad}")
+    return out.astype(np.asarray(data).dtype)
+
+
+def _ic0_numpy(indptr, indices, data, n):
+    pos = np.full(n, -1, np.int64)
+    for i in range(n):
+        lo, hi = int(indptr[i]), int(indptr[i + 1])
+        if hi <= lo or indices[hi - 1] != i:
+            raise ZeroDivisionError(f"IC(0) breakdown at row {i}")
+        pos[indices[lo:hi]] = np.arange(lo, hi)
+        for p in range(lo, hi - 1):
+            k = int(indices[p])
+            s = data[p]
+            q = slice(int(indptr[k]), int(indptr[k + 1]) - 1)
+            r2 = pos[indices[q]]
+            ok = r2 >= 0
+            s = s - np.sum(data[r2[ok]] * np.conj(data[q][ok]))
+            data[p] = s / data[int(indptr[k + 1]) - 1]
+        d = data[hi - 1] - np.sum(np.abs(data[lo:hi - 1]) ** 2)
+        if np.real(d) <= 0:
+            pos[indices[lo:hi]] = -1
+            raise ZeroDivisionError(f"IC(0) breakdown at row {i}")
+        data[hi - 1] = np.sqrt(np.real(d))
+        pos[indices[lo:hi]] = -1
+    return data

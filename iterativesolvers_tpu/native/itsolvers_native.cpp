@@ -13,6 +13,7 @@
 //
 // Build: see build.py (g++ -O3 -shared -fPIC).
 
+#include <cmath>
 #include <cstdint>
 #include <cstdio>
 #include <cstdlib>
@@ -217,6 +218,78 @@ int64_t extract_diagonal(
         if ((!found || v == 0.0) && bad < 0) bad = r;
     }
     return bad;
+}
+
+// ---------------------------------------------------------------------------
+// ILU(0): incomplete LU with zero fill on the CSR pattern (IKJ variant).
+// Requires sorted column indices and a present diagonal in every row.
+// In-place on `data`: strict lower part becomes L (unit diagonal implied),
+// diagonal + strict upper become U.  Returns -1 on success, or the row of
+// the first zero pivot.
+// ---------------------------------------------------------------------------
+int64_t ilu0(
+    const int64_t* indptr, const int32_t* indices, double* data, int64_t n)
+{
+    std::vector<int64_t> diag_ptr(n, -1);
+    for (int64_t r = 0; r < n; ++r)
+        for (int64_t p = indptr[r]; p < indptr[r + 1]; ++p)
+            if (indices[p] == r) { diag_ptr[r] = p; break; }
+    for (int64_t r = 0; r < n; ++r)
+        if (diag_ptr[r] < 0) return r;  // structurally missing diagonal
+
+    std::vector<int64_t> pos(n, -1);  // column -> position within row i
+    for (int64_t i = 0; i < n; ++i) {
+        for (int64_t p = indptr[i]; p < indptr[i + 1]; ++p)
+            pos[indices[p]] = p;
+        for (int64_t p = indptr[i]; p < diag_ptr[i]; ++p) {
+            int64_t k = indices[p];
+            double piv = data[diag_ptr[k]];
+            if (piv == 0.0) return k;
+            double lik = data[p] / piv;
+            data[p] = lik;
+            for (int64_t q = diag_ptr[k] + 1; q < indptr[k + 1]; ++q) {
+                int64_t r2 = pos[indices[q]];
+                if (r2 >= 0) data[r2] -= lik * data[q];
+            }
+        }
+        if (data[diag_ptr[i]] == 0.0) return i;
+        for (int64_t p = indptr[i]; p < indptr[i + 1]; ++p)
+            pos[indices[p]] = -1;
+    }
+    return -1;
+}
+
+// ---------------------------------------------------------------------------
+// IC(0): incomplete Cholesky with zero fill on the LOWER-triangular CSR
+// pattern (row i holds columns <= i, sorted, diagonal last).  In-place on
+// `data`: becomes the IC factor L with A ~= L L^T.  Returns -1 on success,
+// or the row of the first non-positive pivot (breakdown).
+// ---------------------------------------------------------------------------
+int64_t ic0(
+    const int64_t* indptr, const int32_t* indices, double* data, int64_t n)
+{
+    std::vector<int64_t> pos(n, -1);
+    for (int64_t i = 0; i < n; ++i) {
+        int64_t lo = indptr[i], hi = indptr[i + 1];
+        if (hi <= lo || indices[hi - 1] != i) return i;  // missing diagonal
+        for (int64_t p = lo; p < hi; ++p) pos[indices[p]] = p;
+        for (int64_t p = lo; p < hi - 1; ++p) {
+            int64_t k = indices[p];
+            // L[i,k] = (A[i,k] - sum_{j<k} L[i,j] L[k,j]) / L[k,k]
+            double s = data[p];
+            for (int64_t q = indptr[k]; q < indptr[k + 1] - 1; ++q) {
+                int64_t r2 = pos[indices[q]];
+                if (r2 >= 0) s -= data[r2] * data[q];
+            }
+            data[p] = s / data[indptr[k + 1] - 1];
+        }
+        double d = data[hi - 1];
+        for (int64_t p = lo; p < hi - 1; ++p) d -= data[p] * data[p];
+        if (d <= 0.0) { for (int64_t p = lo; p < hi; ++p) pos[indices[p]] = -1; return i; }
+        data[hi - 1] = std::sqrt(d);
+        for (int64_t p = lo; p < hi; ++p) pos[indices[p]] = -1;
+    }
+    return -1;
 }
 
 }  // extern "C"

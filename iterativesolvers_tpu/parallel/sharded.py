@@ -303,6 +303,52 @@ class HaloDIAOperator(LinearOperator):
             out_specs=vec_spec,
         )(self.diags, x)
 
+    def mv_rows(self, Xr):
+        """Row-panel halo SpMM: ``Xr`` is (k, n) with vectors as rows,
+        sharded over axis 1.  Same halo algebra as ``mv`` transposed onto
+        the minor axis — block solvers (LOBPCG) keep their (k, n) panels
+        sharded without the transpose round-trips the default would pay."""
+        halo, offsets, n_local = self.halo, self.offsets, self.n_local
+        axes = self.axes
+        D = int(np.prod([self.mesh.shape[a] for a in axes]))
+
+        def local_mv_rows(diags_loc, X_loc):
+            # X_loc: (k, n_local)
+            if halo > 0 and D > 1:
+                fwd = [(i, (i + 1) % D) for i in range(D)]
+                bwd = [(i, (i - 1) % D) for i in range(D)]
+                left = jax.lax.ppermute(X_loc[:, -halo:], axes, perm=fwd)
+                right = jax.lax.ppermute(X_loc[:, :halo], axes, perm=bwd)
+            else:
+                left = X_loc[:, -halo:] if halo else X_loc[:, :0]
+                right = X_loc[:, :halo]
+            zpad = jnp.zeros(X_loc.shape[:1] + (halo,), X_loc.dtype)
+            xz = jnp.concatenate([zpad, X_loc, zpad], axis=1)
+            y = jnp.zeros_like(X_loc)
+            for kk, off in enumerate(offsets):
+                dk = diags_loc[kk]
+                y = y + dk[None, :] * jax.lax.dynamic_slice_in_dim(
+                    xz, halo + off, n_local, axis=1
+                )
+            for kk, off in enumerate(offsets):
+                if off == 0:
+                    continue
+                dk = diags_loc[kk]
+                if off < 0:
+                    y = y.at[:, :-off].add(
+                        dk[None, :-off] * left[:, halo + off:])
+                else:
+                    y = y.at[:, n_local - off:].add(
+                        dk[None, n_local - off:] * right[:, :off])
+            return y
+
+        return jax.shard_map(
+            local_mv_rows,
+            mesh=self.mesh,
+            in_specs=(P(axes), P(None, axes)),
+            out_specs=P(None, axes),
+        )(self.diags, Xr)
+
     def tree_flatten(self):
         return (self.diags,), (self.mesh, self.axes, self.halo, self.n_local,
                                self.offsets, self._shape)

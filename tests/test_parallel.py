@@ -283,3 +283,21 @@ def test_slice_mesh_gspmd_auto_sharding(mesh2d):
     x, h = its.cg(As, b, reltol=1e-10, maxiter=400, log=True)
     assert h.isconverged
     assert float(jnp.linalg.norm(A.mv(x) - 1.0)) < 1e-8
+
+
+def test_halo_mv_rows_matches_dense(mesh):
+    """Row-panel halo SpMM: (k, n) rows sharded over the minor axis — the
+    layout distributed LOBPCG keeps its blocks in."""
+    import jax as _jax
+
+    A = laplace_dia(16, 2)
+    op = HaloDIAOperator(A, mesh)
+    rng = np.random.default_rng(7)
+    Xr = jax.device_put(
+        jnp.asarray(rng.random((3, A.shape[0]))),
+        jax.sharding.NamedSharding(
+            mesh, jax.sharding.PartitionSpec(None, "rows")),
+    )
+    got = np.asarray(op.mv_rows(Xr))
+    want = (np.asarray(A.to_dense()) @ np.asarray(Xr).T).T
+    np.testing.assert_allclose(got, want, rtol=1e-10)

@@ -178,6 +178,31 @@ class ILUPreconditioner(Preconditioner):
             np.asarray(ucsr._host("data")), f[dmask], lower=False)
         return cls(lower, upper)
 
+    @classmethod
+    def block_jacobi(cls, A, nblocks: int) -> "ILUPreconditioner":
+        """Block-Jacobi ILU(0): drop every entry crossing a block boundary
+        (contiguous row blocks of ~n/nblocks) and ILU(0)-factor the
+        block-diagonal remainder.  The factorization decouples per block, so
+        the level schedule runs all blocks' levels in parallel — the level
+        count drops from O(depth(A)) to O(depth(largest block)), and with
+        ``nblocks`` equal to the device count the apply is shard-local (the
+        classic distributed preconditioner; weaker than global ILU(0) by the
+        dropped couplings, cheaper and communication-free per application)."""
+        import numpy as np
+
+        from .sparse import CSRMatrix
+
+        csr = A if isinstance(A, CSRMatrix) else A.to_csr()
+        n = csr.shape[0]
+        rows = np.asarray(csr._host("row_ids")).astype(np.int64)
+        cols = np.asarray(csr._host("indices")).astype(np.int64)
+        vals = np.asarray(csr._host("data"))
+        bs = -(-n // int(nblocks))
+        keep = (rows // bs) == (cols // bs)
+        blockdiag = CSRMatrix.from_coo(rows[keep], cols[keep], vals[keep],
+                                       csr.shape)
+        return cls.from_operator(blockdiag)
+
     def ldiv(self, x):
         return self.upper_solve.solve(self.lower_solve.solve(x))
 

@@ -99,3 +99,23 @@ def test_ic0_lobpcg_preconditioner():
     assert r1.iterations <= r0.iterations
     np.testing.assert_allclose(np.asarray(r1.lam), np.asarray(r0.lam),
                                rtol=1e-5)
+
+
+def test_block_jacobi_ilu():
+    """Block-Jacobi ILU(0): decoupled blocks collapse the level count to the
+    largest block's depth, converging slower than global ILU(0) but still
+    far faster than unpreconditioned."""
+    A, b = advection_diffusion(12)
+    csr = A.to_csr()
+    bb = jnp.asarray(b)
+    Pbj = ILUPreconditioner.block_jacobi(csr, 8)
+    Pg = ILUPreconditioner.from_operator(csr)
+    # decoupled blocks => strictly fewer levels than the global factorization
+    assert Pbj.lower_solve.nlevels < Pg.lower_solve.nlevels
+    _, h0 = its.gmres(csr, bb, reltol=1e-8, restart=20, maxiter=600, log=True)
+    x, h = its.gmres(csr, bb, Pl=Pbj, reltol=1e-8, restart=20, maxiter=600,
+                     log=True)
+    assert h.isconverged
+    assert h.iters < max(h0.iters, 100)
+    r = np.asarray(csr.mv(x)) - np.asarray(b)
+    assert np.linalg.norm(r) / np.linalg.norm(b) < 1e-6

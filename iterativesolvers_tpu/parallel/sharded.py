@@ -562,6 +562,67 @@ class HaloStencilOperator(LinearOperator):
     def mv_dot(self, x):
         return self._apply(x, conj=False, with_dot=True)
 
+    def mv_rows(self, Xr):
+        """Row-panel halo SpMM: ``Xr`` is (k, n) rows sharded over axis 1 —
+        the same algebra as ``mv`` on the minor axis (XLA interior; the
+        Pallas kernel is single-vector), so distributed block solvers keep
+        their panels lane-efficient without transpose round-trips."""
+        halo, n_local, terms = self.halo, self.n_local, self.terms
+        axes, mesh = self.axes, self.mesh
+        D = int(np.prod([mesh.shape[a] for a in axes]))
+
+        def local_rows(center, coeffs, X_loc):
+            # X_loc: (k, n_local)
+            if halo > 0 and D > 1:
+                fwd = [(i, (i + 1) % D) for i in range(D)]
+                bwd = [(i, (i - 1) % D) for i in range(D)]
+                left = jax.lax.ppermute(X_loc[:, -halo:], axes, perm=fwd)
+                right = jax.lax.ppermute(X_loc[:, :halo], axes, perm=bwd)
+            else:
+                left = X_loc[:, -halo:] if halo else X_loc[:, :0]
+                right = X_loc[:, :halo]
+            i = jax.lax.iota(jnp.int32, n_local)
+            zpad = jnp.zeros(X_loc.shape[:1] + (halo,), X_loc.dtype)
+            xz = jnp.concatenate([zpad, X_loc, zpad], axis=1)
+            y = center * X_loc
+            for (off, s, e), c in zip(terms, coeffs):
+                shifted = jax.lax.dynamic_slice_in_dim(
+                    xz, halo + off, n_local, axis=1)
+                if s * e <= n_local:
+                    pos = (i // s) % e
+                    step = off // s
+                    valid = (pos + step >= 0) & (pos + step < e)
+                    y = y + jnp.where(valid[None, :], c * shifted, 0)
+                else:
+                    y = y + c * shifted
+            d_idx = _flat_device_index(axes, mesh.shape) if D > 1 else 0
+            base = d_idx * n_local
+            for (off, s, e), c in zip(terms, coeffs):
+                if off == 0:
+                    continue
+                step = off // s
+                if off < 0:
+                    rows = jnp.arange(-off, dtype=jnp.int32)
+                    vals = left[:, halo + off:]
+                else:
+                    rows = n_local - off + jnp.arange(off, dtype=jnp.int32)
+                    vals = right[:, :off]
+                pos = ((base + rows) // s) % e
+                valid = (pos + step >= 0) & (pos + step < e)
+                delta = jnp.where(valid[None, :], c * vals, 0)
+                if off < 0:
+                    y = y.at[:, :-off].add(delta)
+                else:
+                    y = y.at[:, n_local - off:].add(delta)
+            return y
+
+        return jax.shard_map(
+            local_rows,
+            mesh=mesh,
+            in_specs=(P(), P(), P(None, axes)),
+            out_specs=P(None, axes),
+        )(self.center, self.coeffs, Xr)
+
     def tree_flatten(self):
         return (self.center, self.coeffs), (
             self.mesh, self.axes, self.halo, self.n_local, self.n, self.terms)

@@ -145,3 +145,39 @@ def test_halo_stencil_guards(mesh):
         HaloStencilOperator(bad, mesh)
     with pytest.raises(TypeError):
         HaloStencilOperator(laplace_dia(16, 2), mesh)
+
+
+def test_halo_stencil_mv_rows_matches_dense(mesh):
+    """Row-panel halo SpMM on the matrix-free stencil (distributed block
+    solvers keep (k, n) panels sharded over the minor axis)."""
+    st = laplacian(8, 3, dtype=np.float64)  # three span classes
+    op = HaloStencilOperator(st, mesh)
+    A = laplace_dia(8, 3, dtype=np.float64)
+    rng = np.random.default_rng(9)
+    Xr = jax.device_put(
+        jnp.asarray(rng.random((3, st.n))),
+        jax.sharding.NamedSharding(
+            mesh, jax.sharding.PartitionSpec(None, "rows")),
+    )
+    got = np.asarray(op.mv_rows(Xr))
+    want = (np.asarray(A.to_dense()) @ np.asarray(Xr).T).T
+    np.testing.assert_allclose(got, want, rtol=1e-12)
+
+
+def test_lobpcg_on_halo_stencil_mesh(mesh):
+    """Distributed LOBPCG through the matrix-free stencil row-panel path."""
+    import iterativesolvers_tpu as its
+
+    st = laplacian(16, 2, dtype=np.float64)
+    op = HaloStencilOperator(st, mesh)
+    rng = np.random.default_rng(4)
+    X0 = jax.device_put(
+        jnp.asarray(rng.standard_normal((st.n, 3))),
+        jax.sharding.NamedSharding(
+            mesh, jax.sharding.PartitionSpec("rows", None)),
+    )
+    r = its.lobpcg(op, X0, largest=False, tol=1e-6, maxiter=400)
+    rs = its.lobpcg(st, X0, largest=False, tol=1e-6, maxiter=400)
+    assert r.converged
+    np.testing.assert_allclose(np.asarray(r.lam), np.asarray(rs.lam),
+                               rtol=1e-6)

@@ -38,7 +38,7 @@ def main():
     rng = np.random.default_rng(0)
     X0 = jnp.asarray(rng.standard_normal((n, 16)).astype(np.float32))
     r = its.lobpcg(A, X0, largest=False, tol=1e-4, maxiter=150)
-    jax.block_until_ready(r.lam)
+    float(jnp.sum(r.lam))  # scalar readback: block_until_ready is dispatch-only here
     lam0 = float(np.asarray(r.lam)[0])
     t0 = time.perf_counter()
     r = its.lobpcg(A, X0 + jnp.float32(1e-5), largest=False, tol=1e-4,
@@ -52,12 +52,18 @@ def main():
     print(f"  lam[0]={lam0:.6e} vs analytic {lam_true:.6e} "
           f"(rel {abs(lam0-lam_true)/lam_true:.2e})", flush=True)
 
-    # ---------------- svdl, 1M x 262k sparse, nsv=10 ----------------------
-    m, k = 1_048_576, 262_144
+    # ---------------- svdl, large sparse, nsv=10 ---------------------------
+    # NOTE: 1,048,576 x 262,144 reproducibly faults the axon TPU worker
+    # ("TPU worker process crashed or restarted"), with BOTH ELL and HYB
+    # operators, sometimes on the first solve and sometimes the second —
+    # a backend fault under sustained gather load, bisected 2026-08-19
+    # (quarter scale and half scale run clean; see BENCH_NOTES round 2).
+    # Benchmark at the largest reliable scale instead.
+    m, k = 524_288, 131_072
     S = random_sparse(m, k, 8.0 / k, seed=5,
                       dtype=np.float32).to_hyb().with_adjoint()
     vals, _L = its.svdl(S, nsv=10, tol=1e-5, maxiter=100)
-    jax.block_until_ready(vals)
+    float(jnp.sum(vals))  # scalar readback fence
     t0 = time.perf_counter()
     vals, _L = its.svdl(S, nsv=10, tol=1e-5, maxiter=100,
                         key=jax.random.PRNGKey(7))

@@ -1,8 +1,11 @@
-"""Pallas DIA SpMV kernel tests (interpret mode on CPU).
+"""Pallas kernel tests (interpret mode on CPU): DIA SpMV, windowed stencil
+SpMV (+fused dot), and VMEM-resident panel MGS.
 
-The compiled path is exercised on real TPU by ``benchmarks/tpu_spmv_bench.py``
-(results in BENCH_NOTES.md) and by ``bench.py`` when the Pallas path wins the
-operator dispatch."""
+Compiled-path evidence on real TPU (BENCH_NOTES.md): the stencil and
+panel-MGS kernels are in ``bench.py``'s hot paths; the DIA kernel is
+correct-but-slower than XLA's own DIA fusion (head-to-head in
+``benchmarks/tpu_spmv_bench.py``) and is NOT in any solver dispatch —
+kept as the measured negative result."""
 
 import jax.numpy as jnp
 import numpy as np

@@ -244,11 +244,16 @@ def stencil_apply(plan: StencilPlan, center, inner_coeffs, outer_coeffs, x,
     # output was tried (saves the 62 us slice pass) and REGRESSED 2x on
     # real v5e — Mosaic's masked ragged stores disable the output block
     # pipelining (measured: mv 178 -> 373 us at 216^3, CG/iter 623 -> 1083).
-    out_shape = [jax.ShapeDtypeStruct((plan.nb * plan.block,), dtype)]
+    # inside shard_map with check_vma on (the default), pallas_call outputs
+    # must declare how they vary over mesh axes; inherit the input's vma
+    # (frozenset()/None outside shard_map — a no-op there)
+    vma = getattr(jax.typeof(x), "vma", None)
+    out_shape = [jax.ShapeDtypeStruct((plan.nb * plan.block,), dtype,
+                                      vma=vma)]
     out_specs = [pl.BlockSpec((plan.block,), lambda i: (i,))]
     if with_dot:
         # dot partial accumulates in f32 regardless of the stream dtype
-        out_shape.append(jax.ShapeDtypeStruct((1, 1), jnp.float32))
+        out_shape.append(jax.ShapeDtypeStruct((1, 1), jnp.float32, vma=vma))
         out_specs.append(
             pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM))
 

@@ -86,8 +86,8 @@ def main():
 
     # two operator paths for the same matrix: stored-DIA streams, and the
     # matrix-free stencil (zero stored data — the flagship path for the
-    # constant-coefficient Laplace family).  Headline = the stencil; both
-    # reported.
+    # constant-coefficient Laplace family).  Headline = the faster of the
+    # two on the current worker (selection logic below); both reported.
     #
     # maxiter values are aligned to run_chunked's warmup ladder
     # (8+16+32+64+128 = 248 warmup steps, then 256-step chunks) so the

@@ -3,8 +3,11 @@
   * LOBPCG: nev=16 smallest of the 1,030,301-row (101^3) 3-D Laplacian
     (matrix-free stencil operator; block SpMM through the DIA path), tol
     1e-4, f32.
-  * svdl: nsv=10 of a 1,048,576 x 262,144 random sparse operator (HYB with
-    precomputed adjoint — GKL needs mv AND rmv every inner step).
+  * svdl: nsv=10 of a 524,288 x 131,072 random sparse operator (HYB with
+    precomputed adjoint — GKL needs mv AND rmv every inner step).  The
+    originally planned 1,048,576 x 262,144 scale reproducibly faults the
+    axon TPU worker under sustained gather load (bisected in BENCH_NOTES
+    round 2); the bench pins the largest worker-stable scale.
 
 Timing: wall around the warm second solve, scalar-readback fenced,
 perturbed inputs (single-solve workloads — no maxiter ladder to

@@ -103,7 +103,7 @@ def _call(diags, offsets, x, u=None, *, block_rows=32768, interpret=False,
         dp, xp = _pad_inputs(diags, x, halo, npad, n)
     with_dot = u is not None
 
-    in_specs = [pl.BlockSpec(memory_space=pltpu.ANY)]  # xp stays in HBM
+    in_specs = [pl.BlockSpec(memory_space=pl.ANY)]  # xp stays in HBM
     inputs = [xp]
     if with_dot:
         up = jnp.pad(u, (0, npad - n))

@@ -248,6 +248,14 @@ def stencil_apply(plan: StencilPlan, center, inner_coeffs, outer_coeffs, x,
     # must declare how they vary over mesh axes; inherit the input's vma
     # (frozenset()/None outside shard_map — a no-op there)
     vma = getattr(jax.typeof(x), "vma", None)
+    if vma:
+        # keep every kernel operand's varying-axes annotation uniform so the
+        # pallas_call abstract-eval vma rule accepts the mix of per-shard x
+        # and replicated coefficient streams
+        axes = tuple(vma)
+        mcs = [jax.lax.pvary(mc, axes) for mc in mcs]
+        scal = jax.lax.pvary(scal, axes)
+        inputs = [x, x, scal] + mcs
     out_shape = [jax.ShapeDtypeStruct((plan.nb * plan.block,), dtype,
                                       vma=vma)]
     out_specs = [pl.BlockSpec((plan.block,), lambda i: (i,))]
@@ -257,6 +265,16 @@ def stencil_apply(plan: StencilPlan, center, inner_coeffs, outer_coeffs, x,
         out_specs.append(
             pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM))
 
+    # NOTE (JAX <= 0.9): ``interpret=True`` under shard_map requires the
+    # enclosing shard_map to pass ``check_vma=False``.  The interpret-mode
+    # lowering replays the discharged kernel jaxpr with raw eval_jaxpr binds
+    # that do NOT re-insert pvary, so any ref write mixing the mesh-varying
+    # x block with empty-vma scratch/loop-index values trips
+    # core.standard_vma_rule — and it happens at jit-*lowering* time, out of
+    # reach of any trace-time workaround here.  The compiled Mosaic path
+    # never evaluates the kernel body as jax primitives and runs fine with
+    # check_vma on (verified on real TPU, see tests/test_parallel_stencil.py
+    # and BENCH_NOTES round 3).
     kernel = partial(_kernel, plan, with_dot, n_inner, n_outer)
     outs = pl.pallas_call(
         kernel,

@@ -34,6 +34,10 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..operators.linear_operator import LinearOperator
 from ..operators.sparse import DIAMatrix, ELLMatrix
 
+# test hook: force the per-shard Pallas interior (interpret mode) on
+# non-TPU backends so CPU meshes can exercise the real-TPU dispatch
+_PALLAS_INTERPRET = False
+
 __all__ = [
     "row_mesh",
     "slice_mesh",
@@ -459,7 +463,8 @@ class HaloStencilOperator(LinearOperator):
         if (x_loc.ndim == 1 and not jnp.iscomplexobj(x_loc)
                 and x_loc.dtype in (jnp.float32, jnp.bfloat16)):
             try:
-                use_pallas = jax.default_backend() == "tpu"
+                use_pallas = (jax.default_backend() == "tpu"
+                              or _PALLAS_INTERPRET)
             except Exception:  # pragma: no cover
                 use_pallas = False
         if use_pallas:
@@ -472,6 +477,7 @@ class HaloStencilOperator(LinearOperator):
                     [cs[i] for i in plan.inner_idx],
                     [cs[i] for i in plan.outer_idx],
                     x_loc,
+                    interpret=_PALLAS_INTERPRET,
                 )
         i = jax.lax.iota(jnp.int32, n_local)
         zpad = jnp.zeros((halo,) + x_loc.shape[1:], x_loc.dtype)
@@ -551,6 +557,10 @@ class HaloStencilOperator(LinearOperator):
             mesh=mesh,
             in_specs=(P(), P(), vec_spec),
             out_specs=out_specs,
+            # the interpret-mode Pallas lowering cannot run under the vma
+            # checker (raw eval_jaxpr binds, see ops/pallas_stencil.py);
+            # the compiled TPU path keeps the default check on
+            check_vma=not _PALLAS_INTERPRET,
         )(self.center, self.coeffs, x)
 
     def mv(self, x):

@@ -121,3 +121,59 @@ def test_restarted_converges(rng):
     assert h.isconverged
     assert h.restarts >= 1
     assert np.linalg.norm(A @ np.asarray(x) - b) / np.linalg.norm(b) <= 1e-7
+
+
+def test_bf16_panel_convergence_parity_grid():
+    """GMRES-IR (bf16 Krylov panel) convergence parity vs the f32 panel on
+    the reference fixture family (laplace + advection-diffusion,
+    SURVEY §4.10), across the tolerance grid.  Calibrated against measured
+    behavior (round 3): at moderate tolerances the bf16 basis costs a
+    bounded iteration inflation; at tolerances near/below the bf16 basis
+    resolution times the condition number it stagnates — which the solver
+    must report honestly (isconverged=False on the TRUE residual), never
+    claim falsely.  This is the validation gate for headlining the bf16
+    panel in bench.py (VERDICT r2 item 1)."""
+    from iterativesolvers_tpu.solvers.gmres import gmres
+    from iterativesolvers_tpu.utils.fixtures import advection_diffusion, laplace_dia
+
+    cases = []
+    A = laplace_dia(32, 2, dtype=np.float32)
+    b = jnp.asarray(np.ones(A.shape[0], np.float32))
+    cases.append(("laplace2d", A, b, 1e-4, 1.5))
+    Ad, bd = advection_diffusion(8, dtype=np.float32)
+    bd = jnp.asarray(np.asarray(bd, np.float32))
+    cases.append(("advdiff", Ad, bd, 1e-4, 2.5))
+    cases.append(("advdiff", Ad, bd, 1e-6, 2.5))
+
+    for name, M, rhs, rt, max_inflation in cases:
+        xf, hf = gmres(M, rhs, restart=20, reltol=rt, maxiter=2000, log=True)
+        xb, hb = gmres(M, rhs, restart=20, reltol=rt, maxiter=2000,
+                       panel_dtype=jnp.bfloat16, log=True)
+        assert hf.isconverged and hb.isconverged, (name, rt)
+        rb = float(jnp.linalg.norm(rhs - M.mv(xb)) / jnp.linalg.norm(rhs))
+        assert rb <= 2 * rt, (name, rt, rb)  # true residual backs the claim
+        assert hb.iters <= max_inflation * hf.iters + 20, (
+            name, rt, hf.iters, hb.iters)
+
+
+def test_bf16_panel_stagnation_reported_honestly():
+    """At a tolerance below the bf16-basis attainable-accuracy floor
+    (~kappa * eps_bf16-limited; measured ~5e-6 on the 32^2 Laplacian), the
+    bf16-panel solve must NOT claim convergence — `isconverged` is decided
+    on the TRUE residual at cycle boundaries (solvers/gmres.py GMRES-IR
+    mode), so stagnation is reported, not masked."""
+    from iterativesolvers_tpu.solvers.gmres import gmres
+    from iterativesolvers_tpu.utils.fixtures import laplace_dia
+
+    A = laplace_dia(32, 2, dtype=np.float32)
+    b = jnp.asarray(np.ones(A.shape[0], np.float32))
+    x, h = gmres(A, b, restart=20, reltol=1e-6, maxiter=600,
+                 panel_dtype=jnp.bfloat16, log=True)
+    r = float(jnp.linalg.norm(b - A.mv(x)) / jnp.linalg.norm(b))
+    if h.isconverged:
+        # if the environment's rounding lets it through, the claim must hold
+        assert r <= 2e-6
+    else:
+        # stagnated: still made it well past the moderate-tol regime, and
+        # the reported state tells the user to rerun with an f32 panel
+        assert r <= 5e-5

@@ -39,10 +39,11 @@ from ..operators.preconditioners import as_preconditioner
 from ..ops.givens import apply_givens, givens
 from ..ops.hessenberg import back_substitute
 from ..ops.orthogonalize import orthogonalize_and_normalize_rows
+from ..ops.pallas_arnoldi import fused_arnoldi, fused_arnoldi_plan
 from ..ops.pallas_mgs import mgs_row_shape, panel_mgs, panel_mgs_plan
 from ..ops.pallas_stencil import pallas_is_available
 from ..utils.dtypes import real_dtype, solve_dtype
-from .common import SolveResult, make_history, norm, resolve_tols, tolerance, with_highest_precision, SolverIterator, print_resnorms
+from .common import SolveResult, live_print, make_history, norm, resolve_tols, tolerance, with_highest_precision, SolverIterator
 
 __all__ = ["gmres", "gmres_iterator"]
 
@@ -68,6 +69,31 @@ def _use_panel_mgs(n, dtype, orth_method, panel_dtype=None):
     working vector fits VMEM."""
     return (orth_method == "mgs" and pallas_is_available()
             and panel_mgs_plan(n, dtype, panel_dtype) is not None)
+
+
+def _fused_setup(op, Pl, Pr, n, dtype, orth_method, panel_dtype=None,
+                 force: bool = False):
+    """Static dispatch for the single-launch fused Arnoldi kernel
+    (ops/pallas_arnoldi.py): unpreconditioned stencil operator, f32 solve,
+    MGS, on TPU.  Returns ``(plan, center, inner_coeffs, outer_coeffs)`` or
+    None.  ``force`` bypasses the backend gate (interpret-mode tests)."""
+    from ..operators.preconditioners import is_identity
+    from ..operators.stencil import StencilOperator
+
+    if orth_method != "mgs" or not (pallas_is_available() or force):
+        return None
+    if not isinstance(op, StencilOperator):
+        return None
+    if not (is_identity(Pl) and is_identity(Pr)):
+        return None
+    if dtype != jnp.float32:
+        return None
+    plan = fused_arnoldi_plan(n, op.terms, dtype, panel_dtype)
+    if plan is None:
+        return None
+    inner_c = [op.coeffs[i] for i in plan.inner_idx]
+    outer_c = [op.coeffs[i] for i in plan.outer_idx]
+    return (plan, op.center, inner_c, outer_c)
 
 
 def _pad_row(vec, vtail):
@@ -101,7 +127,8 @@ def _fresh_cycle(op, Pl, b, x, m, dtype, vtail, vdtype=None):
 
 
 def _arnoldi_step(op, Pl, Pr, state: GMRESState, orth_method: str,
-                  maxiter: int | None = None, masked: bool = False):
+                  maxiter: int | None = None, masked: bool = False,
+                  fused=None, verbose: bool = False):
     """One Arnoldi expansion + incremental QR update.
 
     With ``masked=True`` the step runs unconditionally but every state write
@@ -111,20 +138,39 @@ def _arnoldi_step(op, Pl, Pr, state: GMRESState, orth_method: str,
     ``fori_loop`` cycles with NO per-step ``lax.cond``/whole-state select —
     either of those forces XLA to copy the (m+1, n) panel every iteration
     (~2.5 GB/iter at n = 10M; measured 24 ms/iter GMRES before this
-    restructure vs ~0.77 ms/iter CG on the same operator)."""
+    restructure vs ~0.77 ms/iter CG on the same operator).
+
+    ``fused`` (a ``(plan, center, inner_coeffs, outer_coeffs)`` tuple) routes
+    the whole expansion through the single-launch fused Arnoldi kernel
+    (ops/pallas_arnoldi.py): SpMV + MGS + normalize + the panel row write
+    happen in VMEM with the panel buffer aliased in place — applies to
+    unpreconditioned stencil operators on TPU (the bench north-star)."""
     m = state.R.shape[1]
     k = state.k
     n = op.shape[1]
-    # expand! (src/gmres.jl:285-304): w = Pl^{-1} A Pr^{-1} v_k
-    row = jax.lax.dynamic_slice_in_dim(state.V, k, 1, axis=0)[0]
-    v = row.reshape(-1)[:n].astype(state.x.dtype)
-    w = Pl.ldiv(op.mv(Pr.ldiv(v)))
-    if state.V.ndim == 3:
-        # single Pallas sweep: w stays VMEM-resident, inactive rows skipped,
-        # normalization fused — returns w in the (rows, 512) panel layout
-        w, h, nrm = panel_mgs(state.V, w, k, m + 1)
+    if masked:
+        do = (state.residual > state.tol) & (state.kt < maxiter)
     else:
-        w, h, nrm = orthogonalize_and_normalize_rows(state.V, w, orth_method)
+        do = jnp.ones((), jnp.bool_)
+    if fused is not None:
+        plan, center, inner_c, outer_c = fused
+        V_new, h, nrm = fused_arnoldi(plan, state.V, k, do, center,
+                                      inner_c, outer_c, m + 1)
+        w = None
+    else:
+        # expand! (src/gmres.jl:285-304): w = Pl^{-1} A Pr^{-1} v_k
+        row = jax.lax.dynamic_slice_in_dim(state.V, k, 1, axis=0)[0]
+        v = row.reshape(-1)[:n].astype(state.x.dtype)
+        w = Pl.ldiv(op.mv(Pr.ldiv(v)))
+        V_new = None
+        if state.V.ndim == 3:
+            # single Pallas sweep: w stays VMEM-resident, inactive rows
+            # skipped, normalization fused — returns w in the (rows, 512)
+            # panel layout
+            w, h, nrm = panel_mgs(state.V, w, k, m + 1)
+        else:
+            w, h, nrm = orthogonalize_and_normalize_rows(state.V, w,
+                                                         orth_method)
     # Hessenberg column: h[0..k] + subdiagonal nrm at k+1
     hcol = h.at[k + 1].set(nrm.astype(h.dtype))
 
@@ -142,10 +188,11 @@ def _arnoldi_step(op, Pl, Pr, state: GMRESState, orth_method: str,
     residual = jnp.abs(gk1)
 
     if masked:
-        do = (state.residual > state.tol) & (state.kt < maxiter)
         # rows 0..k are populated, rows > k are zero; a masked step keeps k
-        # frozen and re-writes the (already zero) row k+1 with zeros.
-        w = jnp.where(do, w, jnp.zeros_like(w))
+        # frozen and re-writes the (already zero) row k+1 with zeros (the
+        # fused kernel gates its in-place row write on `do` itself).
+        if w is not None:
+            w = jnp.where(do, w, jnp.zeros_like(w))
         oldcol = jax.lax.dynamic_slice_in_dim(state.R, k, 1, axis=1)[:, 0]
         hcol = jnp.where(do, hcol, oldcol)
         gk = jnp.where(do, gk, state.g[k])
@@ -159,9 +206,17 @@ def _arnoldi_step(op, Pl, Pr, state: GMRESState, orth_method: str,
         step_inc = jnp.ones((), state.k.dtype)
         log_val = residual
 
+    if verbose:
+        # live residual-ESTIMATE line (the incremental-Givens |g_{k+1}|, the
+        # same quantity the reference prints, src/gmres.jl:227)
+        live = do if masked else (state.residual > state.tol)
+        live_print(live, state.kt + 1, residual)
     g = state.g.at[k].set(gk).at[k + 1].set(gk1)
-    V = jax.lax.dynamic_update_slice_in_dim(
-        state.V, w[None].astype(state.V.dtype), k + 1, axis=0)
+    if V_new is not None:
+        V = V_new
+    else:
+        V = jax.lax.dynamic_update_slice_in_dim(
+            state.V, w[None].astype(state.V.dtype), k + 1, axis=0)
     R = jax.lax.dynamic_update_slice_in_dim(state.R, hcol[:, None], k, axis=1)
     cs = state.cs.at[k].set(c.astype(state.cs.dtype))
     ss = state.ss.at[k].set(s)
@@ -199,8 +254,11 @@ def _gmres_prepare(op, b, x0, Pl, Pr, reltol, abstol, restart, maxiter,
     beta = norm(r)
     tol = tolerance(beta, reltol, abstol)
     n = b.shape[0]
+    fused = _fused_setup(op, Pl, Pr, n, dtype, orth_method, vdtype)
     vtail = (mgs_row_shape(n)
-             if _use_panel_mgs(n, dtype, orth_method, vdtype) else (n,))
+             if (fused is not None
+                 or _use_panel_mgs(n, dtype, orth_method, vdtype))
+             else (n,))
     safe = jnp.where(beta == 0, 1, beta)
     V = jnp.zeros((m + 1, *vtail), dtype=vdtype).at[0].set(
         _pad_row((r / safe).astype(vdtype), vtail))
@@ -223,7 +281,7 @@ def _gmres_prepare(op, b, x0, Pl, Pr, reltol, abstol, restart, maxiter,
         return (s.kt < maxiter) & (s.residual > s.tol)
 
     def body(s):
-        s = _arnoldi_step(op, Pl, Pr, s, orth_method)
+        s = _arnoldi_step(op, Pl, Pr, s, orth_method, fused=fused)
         cycle_over = (s.k >= m) | (s.residual <= s.tol) | (s.kt >= maxiter)
 
         def do_finalize(st):
@@ -252,7 +310,8 @@ def _gmres_prepare(op, b, x0, Pl, Pr, reltol, abstol, restart, maxiter,
 
 
 def _gmres_core(op, b, x0, Pl, Pr, reltol, abstol, restart, maxiter,
-                initially_zero, orth_method, panel_dtype=None):
+                initially_zero, orth_method, panel_dtype=None,
+                verbose=False):
     """Jitted core: CYCLE-granular loop.  The while body is one full restart
     cycle — ``restart`` masked Arnoldi steps in a fixed ``fori_loop``, then
     one finalize (masked-length back-substitution + x update) and one fresh
@@ -287,12 +346,15 @@ def _gmres_core(op, b, x0, Pl, Pr, reltol, abstol, restart, maxiter,
     )
     vdtype = state.V.dtype
     b_ = jnp.asarray(b).astype(dtype)
+    fused = _fused_setup(op, Pl, Pr, b.shape[0], dtype, orth_method,
+                         jnp.dtype(panel_dtype) if panel_dtype else None)
 
     def cycle(s):
         s = jax.lax.fori_loop(
             0, m,
             lambda _, st: _arnoldi_step(op, Pl, Pr, st, orth_method,
-                                        maxiter=maxiter, masked=True),
+                                        maxiter=maxiter, masked=True,
+                                        fused=fused, verbose=verbose),
             s,
         )
         # finalize: R/g/k froze exactly at convergence, so the masked-length
@@ -333,7 +395,7 @@ def _gmres_core(op, b, x0, Pl, Pr, reltol, abstol, restart, maxiter,
 _gmres_jit = jax.jit(
     with_highest_precision(_gmres_core),
     static_argnames=("restart", "maxiter", "initially_zero", "orth_method",
-                     "panel_dtype"),
+                     "panel_dtype", "verbose"),
 )
 
 
@@ -389,10 +451,8 @@ def gmres(
     reltol_, abstol_ = resolve_tols(dtype, reltol, abstol)
     res, restarts = _gmres_jit(
         op, b, jnp.asarray(x0), Pl, Pr, reltol_, abstol_, restart, maxiter,
-        initially_zero, orth_method, panel_dtype,
+        initially_zero, orth_method, panel_dtype, verbose=bool(verbose),
     )
-    if verbose:
-        print_resnorms(res)
     if not log:
         return res.x
     # mvps: 1 per inner iteration, 1 per executed cycle boundary (the

@@ -361,3 +361,108 @@ def test_gmres_panel_mgs_integration(monkeypatch):
     # 8 iterations of GMRES(4) on this operator: a panel-layout or padding
     # bug would stall at O(1); the healthy rate lands ~1e-4.
     assert r < 2e-4
+
+
+# ---------------- fused Arnoldi kernel (ops/pallas_arnoldi.py) -------------
+
+
+def _fused_ref(St, V, k, n):
+    """NumPy reference: w = A V[k]; MGS against rows 0..k; normalize."""
+    Vf = np.asarray(V, np.float64).reshape(V.shape[0], -1)
+    v = Vf[k, :n].astype(np.float32)  # stored precision
+    w = np.asarray(St.mv(jnp.asarray(v)), np.float64)
+    m1 = V.shape[0]
+    h = np.zeros(m1)
+    for j in range(k + 1):
+        h[j] = Vf[j, :n] @ w
+        w -= h[j] * Vf[j, :n]
+    nrm = np.linalg.norm(w)
+    return w / nrm, h, nrm
+
+
+def _make_fused_problem(side=1024, m1=5, k=2, seed=7):
+    import iterativesolvers_tpu as its
+    from iterativesolvers_tpu.ops.pallas_arnoldi import fused_arnoldi_plan
+    from iterativesolvers_tpu.ops.pallas_mgs import mgs_pad
+
+    St = its.laplacian(side, 2, dtype=np.float32)  # n = 1,048,576
+    n = St.n
+    plan = fused_arnoldi_plan(n, St.terms, jnp.float32)
+    assert plan is not None
+    n_pad = mgs_pad(n)
+    r = np.random.default_rng(seed)
+    V = np.zeros((m1, n_pad), np.float32)
+    Q, _ = np.linalg.qr(r.standard_normal((n, k + 1)).astype(np.float32))
+    V[: k + 1, :n] = Q.T
+    return St, plan, V, n, n_pad
+
+
+def test_fused_arnoldi_matches_reference():
+    from iterativesolvers_tpu.ops.pallas_arnoldi import fused_arnoldi
+
+    m1, k = 5, 2
+    St, plan, V, n, n_pad = _make_fused_problem(m1=m1, k=k)
+    Vj = jnp.asarray(V.reshape(m1, n_pad // 512, 512))
+    Vp, h, nrm = fused_arnoldi(plan, Vj, jnp.int32(k), jnp.int32(1),
+                               St.center,
+                               [St.coeffs[i] for i in plan.inner_idx],
+                               [St.coeffs[i] for i in plan.outer_idx],
+                               m1, interpret=True)
+    w_ref, h_ref, nrm_ref = _fused_ref(St, V.reshape(m1, -1), k, n)
+    h, nrm = np.asarray(h), float(nrm)
+    scale = max(1.0, float(np.abs(h_ref).max()))
+    np.testing.assert_allclose(h, h_ref, rtol=3e-4, atol=3e-4 * scale)
+    assert abs(nrm - nrm_ref) <= 3e-4 * nrm_ref
+    Vp = np.asarray(Vp).reshape(m1, n_pad)
+    # rows 0..k untouched
+    np.testing.assert_array_equal(Vp[: k + 1], V[: k + 1])
+    # row k+1 = normalized w, pad region zero
+    np.testing.assert_allclose(Vp[k + 1, :n], w_ref, rtol=2e-3, atol=2e-4)
+    assert np.abs(Vp[k + 1, n:]).max(initial=0.0) == 0.0
+    # rows beyond k+1 untouched (zero)
+    assert np.abs(Vp[k + 2:]).max(initial=0.0) == 0.0
+
+
+def test_fused_arnoldi_masked_step_writes_zeros():
+    from iterativesolvers_tpu.ops.pallas_arnoldi import fused_arnoldi
+
+    m1, k = 4, 1
+    St, plan, V, n, n_pad = _make_fused_problem(m1=m1, k=k, seed=9)
+    Vj = jnp.asarray(V.reshape(m1, n_pad // 512, 512))
+    Vp, h, nrm = fused_arnoldi(plan, Vj, jnp.int32(k), jnp.int32(0),
+                               St.center,
+                               [St.coeffs[i] for i in plan.inner_idx],
+                               [St.coeffs[i] for i in plan.outer_idx],
+                               m1, interpret=True)
+    Vp = np.asarray(Vp).reshape(m1, n_pad)
+    np.testing.assert_array_equal(Vp[: k + 1], V[: k + 1])
+    assert np.abs(Vp[k + 1:]).max(initial=0.0) == 0.0
+
+
+def test_gmres_fused_arnoldi_integration(monkeypatch):
+    """GMRES routed through the fused Arnoldi kernel (interpreted) matches
+    the plain XLA path end-to-end on a stencil operator."""
+    from functools import partial
+
+    import iterativesolvers_tpu as its
+    import iterativesolvers_tpu.ops.pallas_arnoldi as pa
+    import iterativesolvers_tpu.solvers.gmres as g
+
+    St = its.laplacian(1024, 2, dtype=np.float32)
+    # shifted so GMRES(4) converges quickly (pure Laplacian stalls restarted
+    # GMRES; this test checks the kernel plumbing, not the algorithm)
+    St = type(St)(St.n, 5.0, St.terms, St.coeffs)
+    rng = np.random.default_rng(5)
+    b = jnp.asarray(rng.standard_normal(St.n).astype(np.float32))
+
+    x_ref = its.gmres(St, b, restart=4, maxiter=8, reltol=1e-6)  # XLA path
+    monkeypatch.setattr(pa, "_INTERPRET", True)
+    monkeypatch.setattr(g, "_fused_setup", partial(g._fused_setup, force=True))
+    x = its.gmres(St, b, restart=4, maxiter=8, reltol=1e-6)
+    # both paths execute the same algebra: iterates agree to f32 roundoff
+    # (measured: residual histories match to 6 digits)
+    np.testing.assert_allclose(np.asarray(x), np.asarray(x_ref),
+                               rtol=1e-4, atol=1e-5)
+    r = float(jnp.linalg.norm(b - St.mv(x)) / jnp.linalg.norm(b))
+    r_ref = float(jnp.linalg.norm(b - St.mv(x_ref)) / jnp.linalg.norm(b))
+    assert r <= 1.05 * r_ref + 1e-6

@@ -45,12 +45,12 @@ from .solvers.gmres import gmres, gmres_iterator
 from .solvers.idrs import idrs, idrs_iterator
 from .solvers.minres import minres, minres_iterator
 from .solvers.pipelined import pipelined_cg
-from .solvers.lobpcg import LOBPCGResults, lobpcg
+from .solvers.lobpcg import LOBPCGResults, lobpcg, lobpcg_iterator
 from .solvers.lsmr import lsmr
 from .solvers.lsqr import lsqr
 from .solvers.qmr import qmr, qmr_iterator
 from .solvers.simple import invpowm, powm, powm_iterator
-from .solvers.svdl import svdl
+from .solvers.svdl import svdl, svdl_iterator
 from .solvers.stationary import (
     SingularError,
     gauss_seidel,

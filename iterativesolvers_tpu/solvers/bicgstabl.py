@@ -25,7 +25,7 @@ import jax.numpy as jnp
 from ..operators.linear_operator import as_operator
 from ..operators.preconditioners import as_preconditioner
 from ..utils.dtypes import real_dtype, solve_dtype
-from .common import SolveResult, make_history, norm, resolve_tols, tolerance, vdot, with_highest_precision, run_chunked, SolverIterator, print_resnorms, random_like
+from .common import SolveResult, live_print, make_history, norm, resolve_tols, tolerance, vdot, with_highest_precision, run_chunked, SolverIterator, random_like
 
 __all__ = ["bicgstabl", "bicgstabl_iterator"]
 
@@ -48,7 +48,7 @@ def _random_like(key, n, dtype):
 
 
 def _bicgstabl_prepare(op, b, x0, Pl, r_shadow, reltol, abstol, l, max_mv,
-                       initially_zero):
+                       initially_zero, verbose=False):
     """(state0, step, done) shared by the jitted core and the eager iterator
     (~ bicgstabl_iterator!, src/bicgstabl.jl:55-76)."""
     dtype = solve_dtype(op.dtype, b.dtype)
@@ -104,6 +104,10 @@ def _bicgstabl_prepare(op, b, x0, Pl, r_shadow, reltol, abstol, l, max_mv,
         us = us.at[0].set(u0)
         rs = rs.at[0].set(r0)
         residual = norm(r0)
+        if verbose:
+            # live residual line per outer l-cycle (@printf parity)
+            live = (s.mv < max_mv) & (s.residual > s.tol)
+            live_print(live, s.k + 1, residual)
         return BiCGStabState(
             x=x, rs=rs, us=us,
             omega=gamma[l - 1],
@@ -119,9 +123,10 @@ def _bicgstabl_prepare(op, b, x0, Pl, r_shadow, reltol, abstol, l, max_mv,
 
 
 def _bicgstabl_core(op, b, x0, Pl, r_shadow, reltol, abstol, l, max_mv,
-                    initially_zero):
+                    initially_zero, verbose=False):
     state0, step, done = _bicgstabl_prepare(
-        op, b, x0, Pl, r_shadow, reltol, abstol, l, max_mv, initially_zero
+        op, b, x0, Pl, r_shadow, reltol, abstol, l, max_mv, initially_zero,
+        verbose
     )
     final = run_chunked(step, done, state0)
     return SolveResult(
@@ -134,7 +139,7 @@ def _bicgstabl_core(op, b, x0, Pl, r_shadow, reltol, abstol, l, max_mv,
 
 
 _bicgstabl_jit = jax.jit(
-    with_highest_precision(_bicgstabl_core), static_argnames=("l", "max_mv", "initially_zero")
+    with_highest_precision(_bicgstabl_core), static_argnames=("l", "max_mv", "initially_zero", "verbose")
 )
 
 
@@ -167,10 +172,8 @@ def bicgstabl(
     r_shadow = _random_like(jax.random.PRNGKey(seed), n, dtype)
     res, mv = _bicgstabl_jit(
         op, b, jnp.asarray(x0), Pl, r_shadow, reltol_, abstol_, int(l), max_mv,
-        initially_zero,
+        initially_zero, verbose=bool(verbose),
     )
-    if verbose:
-        print_resnorms(res)
     if not log:
         return res.x
     history = make_history(res, mv_per_iter=0.0, mv_initial=0)

@@ -42,9 +42,9 @@ from .common import (
     norm,
     resolve_tols,
     run_chunked,
+    live_print,
     tolerance,
     with_highest_precision,
-    print_resnorms,
 )
 
 __all__ = ["chebyshev", "chebyshev_iterator"]
@@ -61,7 +61,8 @@ class ChebyshevState(NamedTuple):
     resnorm_log: jax.Array
 
 
-def _cheb_prepare(op, b, x0, Pl, lmin, lmax, reltol, abstol, maxiter, initially_zero):
+def _cheb_prepare(op, b, x0, Pl, lmin, lmax, reltol, abstol, maxiter,
+                  initially_zero, verbose=False):
     """Build (state0, step, done) — shared by the jitted core and the
     eager iterator (~ chebyshev_iterable!, src/chebyshev.jl:59-91)."""
     dtype = solve_dtype(op.dtype, b.dtype)
@@ -103,6 +104,10 @@ def _cheb_prepare(op, b, x0, Pl, lmin, lmax, reltol, abstol, maxiter, initially_
         x = s.x + alpha * u
         r = s.r - alpha * c
         residual = norm(r)
+        if verbose:
+            # live residual line (src/chebyshev.jl @printf parity)
+            live = (s.k < maxiter) & (s.residual > s.tol)
+            live_print(live, s.k + 1, residual)
         return ChebyshevState(
             x=x, r=r, u=u, alpha=alpha,
             residual=residual, tol=s.tol, k=s.k + 1,
@@ -112,9 +117,11 @@ def _cheb_prepare(op, b, x0, Pl, lmin, lmax, reltol, abstol, maxiter, initially_
     return state0, body, lambda s: (s.k >= maxiter) | (s.residual <= s.tol)
 
 
-def _cheb_core(op, b, x0, Pl, lmin, lmax, reltol, abstol, maxiter, initially_zero):
+def _cheb_core(op, b, x0, Pl, lmin, lmax, reltol, abstol, maxiter,
+               initially_zero, verbose=False):
     state0, step, done = _cheb_prepare(
-        op, b, x0, Pl, lmin, lmax, reltol, abstol, maxiter, initially_zero
+        op, b, x0, Pl, lmin, lmax, reltol, abstol, maxiter, initially_zero,
+        verbose
     )
     final = run_chunked(step, done, state0)
     return SolveResult(
@@ -127,7 +134,7 @@ def _cheb_core(op, b, x0, Pl, lmin, lmax, reltol, abstol, maxiter, initially_zer
 
 
 _cheb_jit = jax.jit(with_highest_precision(_cheb_core),
-                    static_argnames=("maxiter", "initially_zero"))
+                    static_argnames=("maxiter", "initially_zero", "verbose"))
 
 
 def chebyshev(
@@ -157,10 +164,8 @@ def chebyshev(
     reltol_, abstol_ = resolve_tols(dtype, reltol, abstol)
     res = _cheb_jit(
         op, b, jnp.asarray(x0), Pl, float(lmin), float(lmax),
-        reltol_, abstol_, maxiter, initially_zero,
+        reltol_, abstol_, maxiter, initially_zero, verbose=bool(verbose),
     )
-    if verbose:
-        print_resnorms(res)
     if not log:
         return res.x
     history = make_history(res, mv_per_iter=1.0, mv_initial=0 if initially_zero else 1)

@@ -172,6 +172,21 @@ def print_resnorms(res: SolveResult, key: str = "resnorm") -> None:
         print(f"{i + 1:3d}\t{float(v):.2e}")
 
 
+def live_print(live, k, residual) -> None:
+    """LIVE per-iteration residual line inside a jitted loop — parity with
+    the reference's in-loop ``@printf`` (src/cg.jl:234).  ``live`` gates the
+    print so run_chunked's frozen re-steps past convergence don't emit
+    duplicate final lines.  The ``lax.cond``'s operands are scalars only —
+    the documented exception to the no-per-step-cond rule (CLAUDE.md):
+    nothing array-shaped rides the branch, so no carry copies."""
+    jax.lax.cond(
+        live,
+        lambda kk, res: jax.debug.print("{k:3d}\t{res:.2e}", k=kk, res=res),
+        lambda kk, res: None,
+        k, residual,
+    )
+
+
 def with_highest_precision(f):
     """On TPU the default matmul precision is bfloat16 — fatal for Krylov
     orthogonalization / Gram matrices in f32.  Wrap a (to-be-jitted) solver

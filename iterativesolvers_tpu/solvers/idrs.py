@@ -26,7 +26,7 @@ import jax.numpy as jnp
 from ..operators.linear_operator import as_operator
 from ..operators.preconditioners import as_preconditioner
 from ..utils.dtypes import real_dtype, solve_dtype
-from .common import SolveResult, make_history, norm, resolve_tols, tolerance, vdot, with_highest_precision, run_chunked, SolverIterator, print_resnorms, random_like
+from .common import SolveResult, live_print, make_history, norm, resolve_tols, tolerance, vdot, with_highest_precision, run_chunked, SolverIterator, random_like
 
 __all__ = ["idrs", "idrs_iterator"]
 
@@ -71,7 +71,7 @@ def _smooth(Xs, Rs, X, R):
 
 
 def _idrs_prepare(op, b, x0, Pl, P, reltol, abstol, s, maxiter, smoothing,
-                  initially_zero):
+                  initially_zero, verbose=False):
     """(state0, step, done) shared by the jitted core and the eager iterator
     (~ idrs_iterable!, src/idrs.jl:103-160)."""
     dtype = solve_dtype(op.dtype, b.dtype)
@@ -163,15 +163,21 @@ def _idrs_prepare(op, b, x0, Pl, P, reltol, abstol, s, maxiter, smoothing,
         )
 
     def body(st):
-        return jax.lax.cond(st.step < s, k_step, reduction_step, st)
+        new = jax.lax.cond(st.step < s, k_step, reduction_step, st)
+        if verbose:
+            # live residual line (@printf parity); scalar-operand cond only
+            live = (st.it < maxiter) & (st.normR >= st.tol)
+            live_print(live, new.it, new.normR)
+        return new
 
     return state0, body, lambda st: (st.it >= maxiter) | (st.normR < st.tol)
 
 
 def _idrs_core(op, b, x0, Pl, P, reltol, abstol, s, maxiter, smoothing,
-               initially_zero):
+               initially_zero, verbose=False):
     state0, step, done = _idrs_prepare(
-        op, b, x0, Pl, P, reltol, abstol, s, maxiter, smoothing, initially_zero
+        op, b, x0, Pl, P, reltol, abstol, s, maxiter, smoothing,
+        initially_zero, verbose
     )
     final = run_chunked(step, done, state0)
     X_out = final.X_s if smoothing else final.X
@@ -185,7 +191,7 @@ def _idrs_core(op, b, x0, Pl, P, reltol, abstol, s, maxiter, smoothing,
 
 
 _idrs_jit = jax.jit(
-    with_highest_precision(_idrs_core), static_argnames=("s", "maxiter", "smoothing", "initially_zero")
+    with_highest_precision(_idrs_core), static_argnames=("s", "maxiter", "smoothing", "initially_zero", "verbose")
 )
 
 
@@ -218,10 +224,8 @@ def idrs(
     P = random_like(jax.random.PRNGKey(seed), (int(s), n), dtype)
     res = _idrs_jit(
         op, b, jnp.asarray(x0), Pl, P, reltol_, abstol_, int(s), maxiter,
-        bool(smoothing), initially_zero,
+        bool(smoothing), initially_zero, verbose=bool(verbose),
     )
-    if verbose:
-        print_resnorms(res)
     if not log:
         return res.x
     history = make_history(res, mv_per_iter=1.0, mv_initial=0 if initially_zero else 1)

@@ -51,7 +51,7 @@ from ..operators.preconditioners import as_preconditioner
 from ..utils.dtypes import real_dtype
 from ..utils.history import ConvergenceHistory
 
-__all__ = ["lobpcg", "LOBPCGResults", "default_tolerance"]
+__all__ = ["lobpcg", "lobpcg_iterator", "LOBPCGResults", "default_tolerance"]
 
 
 def default_tolerance(dtype) -> float:
@@ -450,4 +450,70 @@ def lobpcg(
         lam=lam, X=X, tolerance=float(tol), residual_norms=resn,
         iterations=iterations, maxiter=maxiter, converged=converged_all,
         history=history, batch_iterations=tuple(batch_iters),
+    )
+
+
+def lobpcg_iterator(
+    A,
+    X0,
+    *,
+    B=None,
+    largest: bool = False,
+    P=None,
+    C=None,
+    tol: float | None = None,
+    maxiter: int = 200,
+):
+    """Eager step-wise LOBPCG — the reusable first-class iterator the
+    reference exports as ``LOBPCGIterator`` (src/lobpcg.jl:497-522; step-wise
+    control per docs/src/iterators.md:1-77).
+
+    One ``next()`` = one LOBPCG iteration (the first spans {X, W}, later
+    ones {X, W, P}, exactly the classic ``lobpcg``'s schedule) and yields
+    the max residual norm of the block.  ``.state`` is a checkpoint pytree
+    (``.state.lam`` = current Ritz values); ``.x`` is the (n, blocksize)
+    eigenvector block in the public column layout.  Covers one block
+    (``nev == blocksize``) — the ``nev > blocksize`` batching of ``lobpcg``
+    is a host accumulation loop over exactly this object.
+    """
+    from .common import SolverIterator
+
+    X0 = jnp.asarray(X0)
+    if X0.ndim != 2:
+        raise ValueError("X0 must be (n, blocksize)")
+    n, bs = X0.shape
+    if 3 * bs > n:
+        raise ValueError("3 * blocksize must be <= n (src/lobpcg.jl:834)")
+    opA = as_operator(A)
+    opB = as_operator(B) if B is not None else None
+    prec = as_preconditioner(P)
+    if tol is None:
+        tol = default_tolerance(X0.dtype)
+    rt = real_dtype(X0.dtype)
+    tol_ = jnp.asarray(tol, rt)
+
+    Y = BY = None
+    if C is not None:
+        Yr = jnp.asarray(C).T
+        BYr = opB.mv_rows(Yr) if opB is not None else Yr
+        Rc = _chol_factor(Yr, BYr)
+        Y, BY = _apply_rinv(Rc, Yr, BYr)
+
+    state0 = _lobpcg_init(opA, opB, prec, Y, BY, X0.T, largest, maxiter)
+    main = jax.jit(lambda S: _lobpcg_main_step(opA, opB, prec, Y, BY, S,
+                                               largest))
+
+    def step(S):
+        if int(S.it) == 0:
+            return _lobpcg_first(opA, opB, prec, Y, BY, S, largest)
+        return main(S)
+
+    def done(S):
+        return int(S.it) >= maxiter or bool(jnp.all(S.resnorms <= tol_))
+
+    return SolverIterator(
+        state0, step, done,
+        extract=lambda S: jnp.max(S.resnorms),
+        jit=False,
+        get_x=lambda S: S.X.T,
     )

@@ -24,7 +24,7 @@ import jax.numpy as jnp
 from ..operators.linear_operator import as_operator
 from ..ops.givens import givens
 from ..utils.dtypes import real_dtype, solve_dtype
-from .common import SolveResult, SolverIterator, make_history, norm, resolve_tols, tolerance, vdot, run_chunked, print_resnorms, with_highest_precision
+from .common import SolveResult, SolverIterator, live_print, make_history, norm, resolve_tols, tolerance, vdot, run_chunked, with_highest_precision
 
 __all__ = ["minres", "minres_iterator"]
 
@@ -76,7 +76,8 @@ def _minres_init(op, b, x0, reltol, abstol, maxiter, initially_zero, skew):
     )
 
 
-def _minres_step(op, state: MINRESState, skew: bool) -> MINRESState:
+def _minres_step(op, state: MINRESState, skew: bool, verbose: bool = False,
+                 maxiter=None) -> MINRESState:
     # Lanczos: v_next = A v_curr - H2 * v_prev, orthogonalize against v_curr
     v_next = op.mv(state.v_curr) - state.H2 * state.v_prev
     proj = vdot(state.v_curr, v_next)
@@ -103,6 +104,10 @@ def _minres_step(op, state: MINRESState, skew: bool) -> MINRESState:
     x = state.x + rhs1 * w_next
 
     residual = jnp.abs(rhs2)
+    if verbose:
+        # live per-iteration residual (src/minres.jl @printf parity)
+        live = ~_minres_done(state, maxiter) if maxiter is not None else True
+        live_print(live, state.k + 1, residual)
     return MINRESState(
         x=x,
         v_prev=state.v_curr,
@@ -126,10 +131,11 @@ def _minres_done(state: MINRESState, maxiter: int):
     return (state.k >= maxiter) | (state.residual <= state.tol)
 
 
-def _minres_core(op, b, x0, reltol, abstol, maxiter, initially_zero, skew):
+def _minres_core(op, b, x0, reltol, abstol, maxiter, initially_zero, skew,
+                 verbose=False):
     state0 = _minres_init(op, b, x0, reltol, abstol, maxiter, initially_zero, skew)
     final = run_chunked(
-        lambda s: _minres_step(op, s, skew),
+        lambda s: _minres_step(op, s, skew, verbose, maxiter),
         lambda s: _minres_done(s, maxiter),
         state0,
     )
@@ -144,7 +150,7 @@ def _minres_core(op, b, x0, reltol, abstol, maxiter, initially_zero, skew):
 
 _minres_jit = jax.jit(
     with_highest_precision(_minres_core),
-    static_argnames=("maxiter", "initially_zero", "skew"),
+    static_argnames=("maxiter", "initially_zero", "skew", "verbose"),
 )
 
 
@@ -172,10 +178,8 @@ def minres(
     reltol_, abstol_ = resolve_tols(dtype, reltol, abstol)
     res = _minres_jit(
         op, b, jnp.asarray(x0), reltol_, abstol_, maxiter, initially_zero,
-        bool(skew_hermitian),
+        bool(skew_hermitian), verbose=bool(verbose),
     )
-    if verbose:
-        print_resnorms(res)
     if not log:
         return res.x
     history = make_history(

@@ -26,7 +26,7 @@ import jax.numpy as jnp
 from ..operators.linear_operator import as_operator
 from ..ops.givens import givens
 from ..utils.dtypes import real_dtype, solve_dtype
-from .common import SolveResult, make_history, norm, resolve_tols, tolerance, vdot, with_highest_precision, run_chunked, SolverIterator, print_resnorms
+from .common import SolveResult, live_print, make_history, norm, resolve_tols, tolerance, vdot, with_highest_precision, run_chunked, SolverIterator
 
 __all__ = ["qmr", "qmr_iterator"]
 
@@ -59,7 +59,8 @@ def _safe(x):
     return jnp.where(x == 0, 1, x)
 
 
-def _qmr_prepare(op, b, x0, reltol, abstol, maxiter, initially_zero):
+def _qmr_prepare(op, b, x0, reltol, abstol, maxiter, initially_zero,
+                 verbose=False):
     """(state0, step, done) shared by the jitted core and the eager iterator
     (~ qmr_iterable!, src/qmr.jl:120-140)."""
     dtype = solve_dtype(op.dtype, b.dtype)
@@ -117,6 +118,10 @@ def _qmr_prepare(op, b, x0, reltol, abstol, maxiter, initially_zero):
         p = (s.v_curr - H2 * s.p_curr - H1 * s.p_prev) / _safe(H3)
         x = s.x + g1 * p
         residual = jnp.abs(g2)
+        if verbose:
+            # live residual line (@printf parity); scalar-operand cond only
+            live = (s.k < maxiter) & (s.residual > s.tol) & ~s.breakdown
+            live_print(live, s.k + 1, residual)
         return QMRState(
             x=x,
             v_prev=s.v_curr, v_curr=v_next,
@@ -135,9 +140,10 @@ def _qmr_prepare(op, b, x0, reltol, abstol, maxiter, initially_zero):
     return state0, body, lambda s: (s.k >= maxiter) | (s.residual <= s.tol) | s.breakdown
 
 
-def _qmr_core(op, b, x0, reltol, abstol, maxiter, initially_zero):
+def _qmr_core(op, b, x0, reltol, abstol, maxiter, initially_zero,
+              verbose=False):
     state0, step, done = _qmr_prepare(
-        op, b, x0, reltol, abstol, maxiter, initially_zero
+        op, b, x0, reltol, abstol, maxiter, initially_zero, verbose
     )
     final = run_chunked(step, done, state0)
     return SolveResult(
@@ -149,7 +155,7 @@ def _qmr_core(op, b, x0, reltol, abstol, maxiter, initially_zero):
     )
 
 
-_qmr_jit = jax.jit(with_highest_precision(_qmr_core), static_argnames=("maxiter", "initially_zero"))
+_qmr_jit = jax.jit(with_highest_precision(_qmr_core), static_argnames=("maxiter", "initially_zero", "verbose"))
 
 
 def qmr(
@@ -174,9 +180,8 @@ def qmr(
     if x0 is None:
         x0 = jnp.zeros(op.shape[1], dtype=dtype)
     reltol_, abstol_ = resolve_tols(dtype, reltol, abstol)
-    res = _qmr_jit(op, b, jnp.asarray(x0), reltol_, abstol_, maxiter, initially_zero)
-    if verbose:
-        print_resnorms(res)
+    res = _qmr_jit(op, b, jnp.asarray(x0), reltol_, abstol_, maxiter,
+                   initially_zero, verbose=bool(verbose))
     if not log:
         return res.x
     history = make_history(

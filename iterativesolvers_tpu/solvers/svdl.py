@@ -41,7 +41,7 @@ from ..utils.dtypes import real_dtype
 from ..utils.history import ConvergenceHistory
 from .common import norm, with_highest_precision
 
-__all__ = ["svdl", "PartialFactorization"]
+__all__ = ["svdl", "svdl_iterator", "PartialFactorization"]
 
 
 class PartialFactorization(NamedTuple):
@@ -255,47 +255,41 @@ def _tree_select(pred, a, b):
     )
 
 
-@partial(jax.jit, static_argnames=("nsv", "op_j", "op_k", "dolock", "method",
-                                   "maxiter", "log"))
-@with_highest_precision
-def _svdl_run(op, L0, tol, reltol, nsv: int, op_j: int, op_k: int,
-              dolock: bool, method: str, maxiter: int, log: bool):
-    """The whole restart loop as one device program (~ the reference's host
-    loop src/svdl.jl:188-226, fused so the O(maxiter) jit dispatches and
-    convergence-check syncs collapse into one while_loop)."""
-    from .common import run_chunked
-
+def _svdl_step(op, tol, reltol, nsv: int, op_j: int, op_k: int,
+               dolock: bool, method: str, log: bool,
+               S: _SvdlState) -> _SvdlState:
+    """One macro-iteration: Ritz + bounds + convergence log + thick restart
+    (the body of the reference's host loop, src/svdl.jl:188-226).  Shared by
+    the fused ``_svdl_run`` while_loop and the eager ``svdl_iterator``."""
     j, k = op_j, op_k
+    rt = real_dtype(S.L.P.dtype)
+    U, s, V, dsig, delta = _ritz_and_bounds_core(S.L)
+    thresh = jnp.maximum(tol, reltol * s[0])
+    conv = delta < thresh
+    all_conv = jnp.all(conv[:nsv])
+    ritz_log = S.ritz_log.at[S.it].set(s)
+    res_log = S.res_log.at[S.it].set(delta)
+    beta_log = S.beta_log.at[S.it].set(jnp.abs(S.L.beta).astype(rt))
+    conv_log = S.conv_log.at[S.it].set(all_conv)
+    B_log = S.B_log.at[S.it].set(S.L.B) if log else S.B_log
+    if method == "harmonic":
+        L_new = _harmonic_restart_core(op, S.L, U, s, V, j, k)
+    else:
+        L_new = _restart_core(op, S.L, U, s, V, conv, j, k, dolock)
+    # on the converging iteration the reference breaks before restarting
+    L_out = _tree_select(all_conv, S.L, L_new)
+    return _SvdlState(
+        L=L_out, U=U, s=s, V=V, conv=conv, converged=all_conv,
+        it=S.it + 1, ritz_log=ritz_log, res_log=res_log,
+        beta_log=beta_log, conv_log=conv_log, B_log=B_log,
+    )
+
+
+def _svdl_state0(L0, maxiter: int, log: bool) -> _SvdlState:
     rt = real_dtype(L0.P.dtype)
     mi = max(maxiter, 1)
-
-    def step(S: _SvdlState) -> _SvdlState:
-        U, s, V, dsig, delta = _ritz_and_bounds_core(S.L)
-        thresh = jnp.maximum(tol, reltol * s[0])
-        conv = delta < thresh
-        all_conv = jnp.all(conv[:nsv])
-        ritz_log = S.ritz_log.at[S.it].set(s)
-        res_log = S.res_log.at[S.it].set(delta)
-        beta_log = S.beta_log.at[S.it].set(jnp.abs(S.L.beta).astype(rt))
-        conv_log = S.conv_log.at[S.it].set(all_conv)
-        B_log = S.B_log.at[S.it].set(S.L.B) if log else S.B_log
-        if method == "harmonic":
-            L_new = _harmonic_restart_core(op, S.L, U, s, V, j, k)
-        else:
-            L_new = _restart_core(op, S.L, U, s, V, conv, j, k, dolock)
-        # on the converging iteration the reference breaks before restarting
-        L_out = _tree_select(all_conv, S.L, L_new)
-        return _SvdlState(
-            L=L_out, U=U, s=s, V=V, conv=conv, converged=all_conv,
-            it=S.it + 1, ritz_log=ritz_log, res_log=res_log,
-            beta_log=beta_log, conv_log=conv_log, B_log=B_log,
-        )
-
-    def done(S: _SvdlState):
-        return S.converged | (S.it >= maxiter)
-
     k_ = L0.B.shape[0]
-    S0 = _SvdlState(
+    return _SvdlState(
         L=L0,
         U=jnp.zeros((k_, k_), L0.P.dtype),
         s=jnp.zeros((k_,), rt),
@@ -310,6 +304,25 @@ def _svdl_run(op, L0, tol, reltol, nsv: int, op_j: int, op_k: int,
         B_log=jnp.zeros((mi, k_, k_ + 1), L0.B.dtype) if log
         else jnp.zeros((1, 1, 1), L0.B.dtype),
     )
+
+
+@partial(jax.jit, static_argnames=("nsv", "op_j", "op_k", "dolock", "method",
+                                   "maxiter", "log"))
+@with_highest_precision
+def _svdl_run(op, L0, tol, reltol, nsv: int, op_j: int, op_k: int,
+              dolock: bool, method: str, maxiter: int, log: bool):
+    """The whole restart loop as one device program (~ the reference's host
+    loop src/svdl.jl:188-226, fused so the O(maxiter) jit dispatches and
+    convergence-check syncs collapse into one while_loop)."""
+    from .common import run_chunked
+
+    step = partial(_svdl_step, op, tol, reltol, nsv, op_j, op_k, dolock,
+                   method, log)
+
+    def done(S: _SvdlState):
+        return S.converged | (S.it >= maxiter)
+
+    S0 = _svdl_state0(L0, maxiter, log)
     return run_chunked(step, done, S0, chunk=4)
 
 
@@ -406,3 +419,71 @@ def svdl(
     if log:
         return (*out, history)
     return out
+
+
+def svdl_iterator(
+    A,
+    *,
+    nsv: int = 6,
+    k: Optional[int] = None,
+    j: Optional[int] = None,
+    v0=None,
+    tol: float | None = None,
+    reltol: float | None = None,
+    maxiter: Optional[int] = None,
+    method: str = "ritz",
+    dolock: bool = False,
+    key=None,
+):
+    """Eager macro-iteration stepper over svdl's restart loop (the step-wise
+    control the reference's iterator docs promise for all solvers,
+    docs/src/iterators.md:1-77; one ``next()`` = one Ritz + convergence
+    check + thick restart, ~ one trip of the host loop src/svdl.jl:188-226).
+
+    Yields the leading-``nsv`` max error bound after each macro-iteration;
+    ``.state`` is a checkpoint (an ``_SvdlState`` pytree) that can be held,
+    inspected (``.state.s`` = current Ritz values, ``.state.L`` = the
+    partial factorization) or restored; ``.x`` is the current ``nsv``
+    singular-value estimate vector.
+    """
+    from .common import SolverIterator
+
+    if method not in ("ritz", "harmonic"):
+        raise ValueError(f"unknown restart method {method!r}")
+    op = as_operator(A)
+    m, n = op.shape
+    l = int(nsv)
+    k = int(k if k is not None else 2 * l)
+    j = int(j if j is not None else l)
+    if k <= 1:
+        raise ValueError("k must be > 1 (src/svdl.jl:184)")
+    if k > min(m, n):
+        raise ValueError("k must be <= min(size(A))")
+    maxiter = int(maxiter if maxiter is not None else min(m, n))
+    rt = real_dtype(op.dtype)
+    if tol is None:
+        tol = float(np.sqrt(np.finfo(rt).eps))
+    if reltol is None:
+        reltol = float(np.sqrt(np.finfo(rt).eps))
+    if v0 is None:
+        if key is None:
+            key = jax.random.PRNGKey(0)
+        v0 = jax.random.normal(key, (n,), rt).astype(op.dtype)
+    v0 = jnp.asarray(v0)
+
+    L0 = _build(op, v0, k)
+    state0 = _svdl_state0(L0, maxiter, log=True)
+    tol_ = jnp.asarray(tol, rt)
+    reltol_ = jnp.asarray(reltol, rt)
+    step = jax.jit(with_highest_precision(partial(
+        _svdl_step, op, tol_, reltol_, l, j, k, dolock, method, True)))
+
+    def done(S):
+        return bool(S.converged) or int(S.it) >= maxiter
+
+    return SolverIterator(
+        state0, step, done,
+        extract=lambda S: jnp.max(S.res_log[S.it - 1, :l]),
+        jit=False,
+        get_x=lambda S: S.s[:l],
+    )

@@ -113,6 +113,66 @@ class ConvergenceHistory:
         rows.append(" " * 8 + f"iterations 0..{y.size - 1}  [{key}]")
         return "\n".join(rows)
 
+    def plotable_keys(self):
+        """Series the plot recipes draw: 1-D/2-D numeric with >= 2 points
+        (the analogue of ``plotable``, src/history.jl:264-265)."""
+        out = []
+        for key in sorted(self.data.keys()):
+            val = np.asarray(self.data[key])
+            if (
+                val.ndim in (1, 2)
+                and val.shape[0] >= 2
+                and np.issubdtype(val.dtype, np.number)
+            ):
+                out.append(key)
+        return out
+
+    def to_mpl(self, keys=None, *, sep_kw=None, **subplots_kw):
+        """Matplotlib figure with one subplot per plottable series and
+        vertical restart separators — the plotting-ecosystem equivalent of
+        the reference's Plots.jl recipes (src/history.jl:269-325: one
+        subplot per key, ``:restart`` separators via vline).
+
+        2-D series (e.g. LOBPCG/svdl per-vector residuals, (iters, k))
+        draw one line per column.  Residual-like series get a log y-axis.
+        Returns the ``matplotlib.figure.Figure``; matplotlib is imported
+        lazily and is NOT a package dependency.
+        """
+        import matplotlib
+
+        matplotlib.use("Agg", force=False)
+        import matplotlib.pyplot as plt
+
+        if keys is None:
+            keys = self.plotable_keys()
+        keys = [k for k in keys if k in self.data]
+        if not keys:
+            raise ValueError("no plottable series in this history")
+        subplots_kw.setdefault("figsize", (7, 2.4 * len(keys)))
+        fig, axes = plt.subplots(len(keys), 1, squeeze=False, **subplots_kw)
+        sep_kw = dict(color="0.6", linestyle=":", linewidth=0.8) | (sep_kw or {})
+        for ax, key in zip(axes[:, 0], keys):
+            y = np.asarray(self.data[key], dtype=float)
+            x = np.arange(1, y.shape[0] + 1)
+            if y.ndim == 1:
+                ax.plot(x, y, marker=".", markersize=3)
+            else:
+                for col in range(y.shape[1]):
+                    ax.plot(x, y[:, col], linewidth=0.9)
+            if self.restart:
+                for r in range(self.restart, y.shape[0], self.restart):
+                    ax.axvline(r, **sep_kw)
+            pos = y[np.isfinite(y) & (y > 0)]
+            if pos.size and (pos.max() / max(pos.min(), 1e-300)) > 1e3:
+                ax.set_yscale("log")
+            ax.set_ylabel(key)
+            ax.grid(True, alpha=0.25)
+        axes[-1, 0].set_xlabel("iteration")
+        title = "converged" if self.isconverged else "not converged"
+        fig.suptitle(f"ConvergenceHistory ({title}, {self.iters} iters)")
+        fig.tight_layout()
+        return fig
+
     def plot_all(self, width: int = 60, height: int = 8) -> str:
         """One stacked panel per plottable series — the analogue of the
         reference's whole-history recipe (one subplot per key,

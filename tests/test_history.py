@@ -1,6 +1,7 @@
 """ConvergenceHistory tests (~ test/history.jl:13-78)."""
 
 import numpy as np
+import pytest
 
 from iterativesolvers_tpu.utils.history import ConvergenceHistory
 
@@ -72,3 +73,120 @@ def test_plot_all_multiseries():
 
 def test_plot_all_empty():
     assert ConvergenceHistory().plot_all() == "(no series)"
+
+
+# ---------------- live verbose (@printf parity, src/cg.jl:234) --------------
+
+
+def _live_lines(capsys):
+    import jax
+
+    jax.effects_barrier()
+    out = capsys.readouterr().out
+    return [ln for ln in out.splitlines() if ln.strip()]
+
+
+@pytest.mark.parametrize("solver_kw", [
+    ("cg", {}),
+    ("minres", {}),
+    ("gmres", {"restart": 10}),
+    ("qmr", {}),
+    ("bicgstabl", {}),
+    ("idrs", {"s": 4}),
+], ids=lambda p: p[0] if isinstance(p, tuple) else str(p))
+def test_live_verbose_prints_during_solve(rng, capsys, solver_kw):
+    """verbose=True emits one LIVE residual line per executed iteration
+    (the reference prints via in-loop @printf, src/cg.jl:234); no
+    duplicate lines from run_chunked's frozen post-convergence re-steps."""
+    import iterativesolvers_tpu as its
+
+    name, kw = solver_kw
+    n = 40
+    A = rng.random((n, n)) + n * np.eye(n)
+    if name in ("cg", "minres"):
+        A = A @ A.T + n * np.eye(n)
+    b = rng.random(n)
+    solver = getattr(its, name)
+    x, h = solver(A, b, reltol=1e-8, verbose=True, log=True, **kw)
+    lines = _live_lines(capsys)
+    assert len(lines) > 0
+    # every line is "  k\t1.23e-05"
+    ks, vals = [], []
+    for ln in lines:
+        k_str, v_str = ln.split("\t")
+        ks.append(int(k_str))
+        vals.append(float(v_str))
+    assert ks == sorted(ks)
+    # no duplicate final lines (frozen re-steps are gated off);
+    # bicgstabl counts outer l-cycles, others count iterations
+    assert len(lines) <= max(h.iters, 1)
+    assert vals[-1] < vals[0]
+
+
+def test_live_verbose_chebyshev(rng, capsys):
+    import iterativesolvers_tpu as its
+
+    n = 30
+    Q, _ = np.linalg.qr(rng.random((n, n)))
+    vals = np.linspace(1.0, 4.0, n)
+    A = (Q * vals) @ Q.T
+    b = rng.random(n)
+    its.chebyshev(A, b, 1.0, 4.0, reltol=1e-8, maxiter=400, verbose=True)
+    lines = _live_lines(capsys)
+    assert len(lines) > 2
+
+
+# ---------------- matplotlib recipe (src/history.jl:269-325) ----------------
+
+
+def test_to_mpl_subplots_and_restart_separators(rng):
+    """ConvergenceHistory.to_mpl: one subplot per plottable key, vertical
+    restart separators (the Plots.jl recipe equivalents)."""
+    mpl = pytest.importorskip("matplotlib")
+    mpl.use("Agg")
+    import iterativesolvers_tpu as its
+
+    n = 60
+    A = rng.random((n, n)) + 12 * np.eye(n)
+    b = rng.random(n)
+    x, h = its.gmres(A, b, restart=5, reltol=1e-10, log=True)
+    assert h.iters > 10  # several restarts
+    fig = h.to_mpl()
+    keys = h.plotable_keys()
+    assert "resnorm" in keys
+    assert len(fig.axes) == len(keys)
+    ax = fig.axes[keys.index("resnorm")]
+    # one axvline per restart boundary within the trace
+    n_sep = sum(1 for ln in ax.lines
+                if len(set(np.asarray(ln.get_xdata(), float))) == 1)
+    assert n_sep == (h.iters - 1) // 5
+    import matplotlib.pyplot as plt
+
+    plt.close(fig)
+
+
+def test_to_mpl_2d_series(rng):
+    """2-D series (per-vector residuals) draw one line per column."""
+    mpl = pytest.importorskip("matplotlib")
+    mpl.use("Agg")
+
+    from iterativesolvers_tpu.utils.history import ConvergenceHistory
+
+    h = ConvergenceHistory()
+    h.iters = 8
+    h.data["resnorm"] = np.abs(rng.random((8, 3))) + 1e-3
+    fig = h.to_mpl()
+    assert len(fig.axes) == 1
+    assert len(fig.axes[0].lines) == 3
+    import matplotlib.pyplot as plt
+
+    plt.close(fig)
+
+
+def test_to_mpl_raises_on_empty():
+    from iterativesolvers_tpu.utils.history import ConvergenceHistory
+
+    pytest.importorskip("matplotlib")
+    h = ConvergenceHistory()
+    with pytest.raises(ValueError):
+        h.to_mpl()

@@ -188,29 +188,41 @@ def main():
     # 240 -> 12 cycles (240 bodies); diff = 260 bodies + 13 cycle
     # boundaries, credited as 260 iters (boundary cost is part of the
     # per-iteration amortized model below).
-    def timed_gmres(maxiter, reps=3, panel_dtype=None):
+    def timed_gmres(maxiter, reps=3, panel_dtype=jnp.bfloat16):
+        # panel default = bfloat16: the library's auto mode at this size
+        # and the DEFAULT f32 tolerance (gmres resolves "auto" by tolerance,
+        # and these timing runs use reltol=0 to pin the iteration count, so
+        # the auto rule must be bypassed here).  ir_stall_exit=False keeps
+        # the run-to-maxiter semantics the differential needs.
         x = its.gmres(St, b, restart=20, reltol=0.0, abstol=1e-30,
-                      maxiter=maxiter, panel_dtype=panel_dtype)
+                      maxiter=maxiter, panel_dtype=panel_dtype,
+                      ir_stall_exit=False)
         fence(x)
         best = float("inf")
         for r in range(reps):
             bb = b + jnp.float32(1e-6 * (r + 1) * maxiter)
             t0 = time.perf_counter()
             x = its.gmres(St, bb, restart=20, reltol=0.0, abstol=1e-30,
-                          maxiter=maxiter, panel_dtype=panel_dtype)
+                          maxiter=maxiter, panel_dtype=panel_dtype,
+                          ir_stall_exit=False)
             fence(x)
             best = min(best, time.perf_counter() - t0)
         return best
 
+    # HEADLINE = the library default at this size: on TPU f32 at n >= 2^20
+    # that is the bfloat16-panel GMRES-IR mode (convergence parity pinned
+    # by tests/test_gmres.py::test_bf16_panel_convergence_parity; accuracy
+    # decided on the true f32 residual each restart).  The explicit
+    # f32-panel path is reported as detail.
     iters_g = 500 - 240
     dt_g = max(timed_gmres(500) - timed_gmres(240), 1e-9)
     g_iter_time = dt_g / iters_g
     g_nnz_per_s = nnz * iters_g / dt_g
-    # mixed-precision GMRES-IR variant (bf16 Krylov panel, f32 arithmetic):
-    # same iteration count by construction (reltol=0 runs to maxiter)
-    dt_g16 = max(timed_gmres(500, panel_dtype=jnp.bfloat16)
-                 - timed_gmres(240, panel_dtype=jnp.bfloat16), 1e-9)
-    g16_iter_time = dt_g16 / iters_g
+    # full-precision panel variant: same iteration count by construction
+    # (reltol=0 runs to maxiter)
+    dt_g32 = max(timed_gmres(500, panel_dtype=None)
+                 - timed_gmres(240, panel_dtype=None), 1e-9)
+    g32_iter_time = dt_g32 / iters_g
 
     # GMRES-specific roofline: unlike CG, each Arnoldi step also streams the
     # Krylov panel through MGS.  Per m-cycle, averaged per iteration:
@@ -259,13 +271,17 @@ def main():
             "restart": 20,
             "timed_iters": iters_g,
             "us_per_iter": round(g_iter_time * 1e6, 1),
-            "us_per_iter_bf16_panel": round(g16_iter_time * 1e6, 1),
+            "panel_dtype_headline": "bfloat16 (library default at this size)",
+            "us_per_iter_f32_panel": round(g32_iter_time * 1e6, 1),
             "us_per_spmv": round(t_mv * 1e6, 1),
             "orthogonalization_share": round(orth_share, 3),
             "frac_hbm_roofline": round(g_frac, 4),
             "note": "GMRES roofline includes the m+1 Krylov-panel passes "
-                    "MGS must stream per iteration (model in bench.py); "
-                    "the Pallas panel-MGS kernel is the measured hot path",
+                    "MGS must stream per iteration, charged at f32 width "
+                    "(model in bench.py); the headline runs the library "
+                    "default bf16-panel GMRES-IR (halves panel bytes, "
+                    "accuracy decided on the true f32 residual each "
+                    "restart) on the Pallas panel-MGS kernel",
         },
     }), flush=True)
 

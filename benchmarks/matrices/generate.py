@@ -168,6 +168,74 @@ def elasticity_2d(nx=40, ny=40, seed=2028):
     return rr[keep], idx[keep].astype(np.int64), dat[keep], (n, n)
 
 
+def fd_band9(n=8192, seed=2029):
+    """4th-order 1-D FD diffusion + drift: 9 diagonals, banded — the DIA
+    showcase (skew-free, bandwidth 4).  Symmetric part dominates; stored
+    lower triangle of the symmetrized operator."""
+    rng = np.random.default_rng(seed)
+    offs = [0, 1, 2, 3, 4]
+    base = {0: 2.8472222, 1: -1.6, 2: 0.2, 3: -0.02539683, 4: 0.00178571}
+    rows, cols, vals = [], [], []
+    jitter = 0.02 * rng.standard_normal(n)
+    for off in offs:
+        i = np.arange(off, n)
+        rows.append(i)
+        cols.append(i - off)
+        v = np.full(i.size, base[off])
+        if off == 0:
+            v = v + np.abs(jitter)
+        vals.append(v)
+    return (np.concatenate(rows), np.concatenate(cols),
+            np.concatenate(vals), (n, n))
+
+
+def powerlaw_graph(n=6000, m_edges=24000, seed=2030):
+    """Preferential-attachment graph Laplacian: power-law degree skew (hub
+    rows hundreds wide, median ~4) — the HYB showcase; the reference's
+    Florida web/social-class matrices have exactly this profile."""
+    rng = np.random.default_rng(seed)
+    # preferential attachment: endpoint sampled from the current edge list
+    src = np.empty(m_edges, np.int64)
+    dst = np.empty(m_edges, np.int64)
+    src[0], dst[0] = 0, 1
+    pool = [0, 1]
+    for k in range(1, m_edges):
+        a = int(rng.integers(0, min(n, 2 + k)))
+        b = pool[int(rng.integers(0, len(pool)))]
+        if a == b:
+            b = (b + 1) % n
+        src[k], dst[k] = a, b
+        pool.append(a)
+        pool.append(b)
+    e = np.stack([np.minimum(src, dst), np.maximum(src, dst)], axis=1)
+    e = np.unique(e, axis=0)
+    # graph Laplacian + shift (SPD)
+    deg = np.bincount(np.concatenate([e[:, 0], e[:, 1]]), minlength=n)
+    rows = np.concatenate([e[:, 1], np.arange(n)])   # lower triangle
+    cols = np.concatenate([e[:, 0], np.arange(n)])
+    vals = np.concatenate([-np.ones(e.shape[0]), deg + 0.5])
+    return rows, cols, vals, (n, n)
+
+
+def uniform_scatter(n=4096, deg=9, seed=2031):
+    """Exactly-uniform row degree, random columns: no banded structure
+    (ndiag ~ n) and zero tail — the ELL showcase (circuit/device-matrix
+    class: constant valence, unstructured connectivity)."""
+    rng = np.random.default_rng(seed)
+    rows = np.repeat(np.arange(n), deg)
+    cols = np.empty((n, deg), np.int64)
+    for r in range(n):
+        picks = rng.choice(n - 1, size=deg - 1, replace=False)
+        picks = picks + (picks >= r)  # off-diagonals != r
+        cols[r, : deg - 1] = picks
+        cols[r, deg - 1] = r
+    vals = rng.standard_normal(n * deg) * 0.1
+    # diagonal dominance for solver tests
+    vals = vals.reshape(n, deg)
+    vals[:, deg - 1] = deg + 1.0
+    return rows, cols.ravel(), vals.ravel(), (n, n)
+
+
 def main():
     os.makedirs(HERE, exist_ok=True)
     note = ("generated stand-in (zero-egress build environment): "
@@ -193,8 +261,29 @@ def main():
                       f"(cylshell class, BSR block structure)\n{note}")
     print("elasticity_2d.mtx", shape3, len(v), "stored entries")
 
+    r, c, v, shape4 = fd_band9()
+    write_mtx(os.path.join(HERE, "fd_band9.mtx"), r, c, v, shape4,
+              symmetric=True,
+              comment=f"4th-order 1-D FD band (9 diagonals): DIA class\n{note}")
+    print("fd_band9.mtx", shape4, len(v), "stored entries")
+
+    r, c, v, shape5 = powerlaw_graph()
+    write_mtx(os.path.join(HERE, "powerlaw_graph.mtx"), r, c, v, shape5,
+              symmetric=True,
+              comment=f"preferential-attachment graph Laplacian, power-law "
+                      f"degree skew: HYB class\n{note}")
+    print("powerlaw_graph.mtx", shape5, len(v), "stored entries")
+
+    r, c, v, shape6 = uniform_scatter()
+    write_mtx(os.path.join(HERE, "uniform_scatter.mtx"), r, c, v, shape6,
+              comment=f"uniform-degree unstructured scatter: ELL class\n{note}")
+    print("uniform_scatter.mtx", shape6, len(v), "stored entries")
+
 
 if __name__ == "__main__":
     import sys
     sys.path.insert(0, os.path.dirname(os.path.dirname(HERE)))
+    # host-side generation only — never attach the TPU backend
+    import jax
+    jax.config.update("jax_platforms", "cpu")
     main()

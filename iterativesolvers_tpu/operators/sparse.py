@@ -392,13 +392,22 @@ class ELLMatrix(LinearOperator):
     should call :meth:`with_adjoint` once: it precomputes A^H in ELL form so
     the adjoint matvec is the same fast gather kernel (2x storage)."""
 
-    def __init__(self, data, cols, shape, adj: "ELLMatrix | None" = None):
+    def __init__(self, data, cols, shape, adj: "ELLMatrix | None" = None,
+                 gather_chunk_rows: int | None = None):
         self._h_data = _keep_host(data)
         self._h_cols = _keep_host(cols, np.int32)
         self.data = jnp.asarray(data)
         self.cols = jnp.asarray(cols, dtype=jnp.int32)
         self._shape = (int(shape[0]), int(shape[1]))
         self.adj = adj
+        # optional gather chunking: bound the size of any single gather op
+        # by splitting the (n, w) gather into row chunks (sequential ops).
+        # Mitigation knob for backend faults under sustained monolithic
+        # gather load at 1e7+-element gathers (BENCH_NOTES round 2: the
+        # 1,048,576 x 262,144 svdl workload reproducibly crashed the
+        # remote TPU worker); part of the pytree aux so traces are stable.
+        self._gather_chunk_rows = (int(gather_chunk_rows)
+                                   if gather_chunk_rows else None)
 
     def _host(self, name):
         h = getattr(self, "_h_" + name)
@@ -414,7 +423,18 @@ class ELLMatrix(LinearOperator):
         vals = np.conj(csr._host("data"))
         n, m = self._shape
         adj = CSRMatrix.from_coo(cols, rows, vals, (m, n)).to_ell()
-        return ELLMatrix(self.data, self.cols, self._shape, adj=adj)
+        if self._gather_chunk_rows:
+            adj = adj.with_chunked_gather(self._gather_chunk_rows)
+        return ELLMatrix(self.data, self.cols, self._shape, adj=adj,
+                         gather_chunk_rows=self._gather_chunk_rows)
+
+    def with_chunked_gather(self, chunk_rows: int) -> "ELLMatrix":
+        """Copy whose SpMV splits the row gather into ``chunk_rows`` chunks
+        (see ``__init__``; adjoint, if present, is chunked too)."""
+        adj = (self.adj.with_chunked_gather(chunk_rows)
+               if self.adj is not None else None)
+        return ELLMatrix(self.data, self.cols, self._shape, adj=adj,
+                         gather_chunk_rows=chunk_rows)
 
     @property
     def shape(self):
@@ -430,6 +450,17 @@ class ELLMatrix(LinearOperator):
 
     def mv(self, x):
         # x: (m,) or (m, k) — gathered rows broadcast against the (n, w) data
+        ck = self._gather_chunk_rows
+        n = self.cols.shape[0]
+        if ck and ck < n:
+            outs = []
+            for r0 in range(0, n, ck):
+                hi = min(r0 + ck, n)
+                c = jax.lax.slice_in_dim(self.cols, r0, hi)
+                d = jax.lax.slice_in_dim(self.data, r0, hi)
+                dd = d if x.ndim == 1 else d[..., None]
+                outs.append(jnp.sum(dd * x[c], axis=1))
+            return jnp.concatenate(outs)
         g = x[self.cols]  # (n, w) or (n, w, k)
         d = self.data if x.ndim == 1 else self.data[..., None]
         return jnp.sum(d * g, axis=1)
@@ -463,14 +494,15 @@ class ELLMatrix(LinearOperator):
         return CSRMatrix.from_coo(rows[mask], cols[mask], data[mask], self._shape)
 
     def tree_flatten(self):
-        return (self.data, self.cols, self.adj), self._shape
+        return (self.data, self.cols, self.adj), (self._shape,
+                                                  self._gather_chunk_rows)
 
     @classmethod
     def tree_unflatten(cls, aux, leaves):
         obj = object.__new__(cls)
         obj.data, obj.cols, obj.adj = leaves
         obj._h_data = obj._h_cols = None
-        obj._shape = aux
+        obj._shape, obj._gather_chunk_rows = aux
         return obj
 
 

@@ -53,7 +53,7 @@ _CROWS = 512                    # MGS sweep chunk = (512, 512) f32 = 1 MB
 _CHUNK = _LANES * _CROWS
 _TARGET_CHUNK = 262144          # stencil chunk target size (elements)
 _MAX_CHUNK = 3 * 2**20 + 2**19
-_VMEM_BUDGET = 104 * 2**20
+_VMEM_BUDGET = 116 * 2**20
 
 
 def _round_up(x, m):
@@ -111,7 +111,9 @@ def fused_arnoldi_plan(n, terms, dtype, panel_dtype=None):
             + 2 * pd.itemsize * win_rows * _LANES   # stencil windows
             + 2 * pd.itemsize * _CHUNK              # MGS sweep buffers
             + 2 * pd.itemsize * _CHUNK              # writeback staging
-            + 1 * len(inner) * chunk                # int8 mask tiles
+            + 2 * len(inner) * chunk                # int8 mask tiles (x2:
+                                                    #   pipeline buffering)
+            + 8 * 4 * _CROWS * _LANES               # sub-tile f32 temps
             )
     if vmem > _VMEM_BUDGET:
         return None
@@ -200,18 +202,28 @@ def _kernel(plan: FusedArnoldiPlan, m1, n_inner, n_outer,
                 vwin[pl.ds(slot * WR + doff + rows, tail), :] = jnp.zeros(
                     (tail, _LANES), vwin.dtype)
             s0 = slot * WR + HR
-            xc = vwin[pl.ds(s0, CR), :].astype(f32)
-            out = scal[0, 0] * xc
-            for t in range(n_inner):
-                off = plan.inner[t][0]
-                mc = mcs[t][...].astype(f32) * scal[0, 1 + n_outer + t]
-                out = out + mc * _flat_shift(vwin, s0, CR, off, f32)
-            for t in range(n_outer):
-                off = plan.outer[t][0]
-                out = out + scal[0, 1 + t] * _flat_shift(
-                    vwin, s0, CR, off, f32)
-            wrows = min(CR, nrows - ci * CR)
-            y[pl.ds(ci * CR, wrows), :] = out[:wrows, :]
+            wbase = ci * CR
+            wrows = min(CR, nrows - wbase)
+            # compute in _CROWS-row sub-tiles: the f32 temporaries (xc, mc,
+            # the two shift reads, out) are sub-tile-sized (~1 MB each), not
+            # chunk-sized (~12 MB each) — the whole-chunk form blew the
+            # 128 MB VMEM budget at n = 216^3 (compiler: 136.9M scoped)
+            sub = 0
+            while sub < wrows:
+                sr = min(_CROWS, wrows - sub)
+                xc = vwin[pl.ds(s0 + sub, sr), :].astype(f32)
+                out = scal[0, 0] * xc
+                for t in range(n_inner):
+                    off = plan.inner[t][0]
+                    mc = (mcs[t][pl.ds(sub, sr), :].astype(f32)
+                          * scal[0, 1 + n_outer + t])
+                    out = out + mc * _flat_shift(vwin, s0 + sub, sr, off, f32)
+                for t in range(n_outer):
+                    off = plan.outer[t][0]
+                    out = out + scal[0, 1 + t] * _flat_shift(
+                        vwin, s0 + sub, sr, off, f32)
+                y[pl.ds(wbase + sub, sr), :] = out
+                sub += sr
         # zero the pad region (rows >= nv can hold stencil spill from the
         # vector tail; MGS exactness needs a zero pad)
         r0 = nv
@@ -367,7 +379,7 @@ def fused_arnoldi(plan: FusedArnoldiPlan, V, k, do, center, inner_coeffs,
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
         ],
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=118 * 2**20),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=127 * 2**20),
         interpret=interpret,
     )(jnp.asarray(k, jnp.int32).reshape(1),
       jnp.asarray(do, jnp.int32).reshape(1),

@@ -60,6 +60,7 @@ class GMRESState(NamedTuple):
     restarts: jax.Array
     residual: jax.Array
     tol: jax.Array
+    stall: jax.Array      # consecutive no-progress IR cycles (f32 path: 0)
     resnorm_log: jax.Array
 
 
@@ -87,6 +88,13 @@ def _fused_setup(op, Pl, Pr, n, dtype, orth_method, panel_dtype=None,
     if not (is_identity(Pl) and is_identity(Pr)):
         return None
     if dtype != jnp.float32:
+        return None
+    if panel_dtype is not None and jnp.dtype(panel_dtype) != dtype:
+        # measured head-to-head (benchmarks/fused_arnoldi_ab.py, round 3,
+        # 216^3): the fused kernel ties the two-kernel pipeline on f32
+        # panels (2314.9 vs 2317.9 us/iter) but loses ~1.5% on bf16 panels
+        # (1565.0 vs 1541.3) — bf16 windows halve the streamed bytes, so
+        # the saved HBM round trips no longer cover the extra kernel sync
         return None
     plan = fused_arnoldi_plan(n, op.terms, dtype, panel_dtype)
     if plan is None:
@@ -274,11 +282,12 @@ def _gmres_prepare(op, b, x0, Pl, Pr, reltol, abstol, restart, maxiter,
         restarts=jnp.zeros((), jnp.int32),
         residual=beta,
         tol=tol,
+        stall=jnp.zeros((), jnp.int32),
         resnorm_log=jnp.zeros((max(maxiter, 1),), dtype=real_dtype(dtype)),
     )
 
     def cond(s):
-        return (s.kt < maxiter) & (s.residual > s.tol)
+        return (s.kt < maxiter) & (s.residual > s.tol) & (s.stall < 2)
 
     def body(s):
         s = _arnoldi_step(op, Pl, Pr, s, orth_method, fused=fused)
@@ -311,7 +320,7 @@ def _gmres_prepare(op, b, x0, Pl, Pr, reltol, abstol, restart, maxiter,
 
 def _gmres_core(op, b, x0, Pl, Pr, reltol, abstol, restart, maxiter,
                 initially_zero, orth_method, panel_dtype=None,
-                verbose=False):
+                verbose=False, ir_stall_exit=True):
     """Jitted core: CYCLE-granular loop.  The while body is one full restart
     cycle — ``restart`` masked Arnoldi steps in a fixed ``fori_loop``, then
     one finalize (masked-length back-substitution + x update) and one fresh
@@ -350,6 +359,10 @@ def _gmres_core(op, b, x0, Pl, Pr, reltol, abstol, restart, maxiter,
                          jnp.dtype(panel_dtype) if panel_dtype else None)
 
     def cycle(s):
+        # entry residual: in IR mode this is the cycle-start TRUE residual
+        # (set by the previous fresh cycle) — the in-cycle estimates only
+        # overwrite it transiently
+        beta_prev = s.residual
         s = jax.lax.fori_loop(
             0, m,
             lambda _, st: _arnoldi_step(op, Pl, Pr, st, orth_method,
@@ -369,10 +382,21 @@ def _gmres_core(op, b, x0, Pl, Pr, reltol, abstol, restart, maxiter,
         # and the counters need masking.
         V, R, g, cs, ss, beta = _fresh_cycle(op, Pl, b_, x, m, dtype,
                                              s.V.shape[1:], vdtype)
+        stall = s.stall
         if ir:
             # decide on the true residual; the estimate only freezes steps
             finished = (beta <= s.tol) | (s.kt >= maxiter)
             residual = beta
+            if ir_stall_exit:
+                # the bf16 basis bounds per-cycle contraction; at its floor
+                # (~2e-5 true relative residual, measured on the 64^2
+                # Laplacian) restarts stop improving entirely.  Two
+                # consecutive cycles with < 0.1% true-residual reduction
+                # exit the solve (converged stays False) instead of burning
+                # the full maxiter budget.
+                progressed = beta < beta_prev * jnp.asarray(0.999, beta.dtype)
+                stall = jnp.where(finished | progressed,
+                                  jnp.zeros((), jnp.int32), s.stall + 1)
         else:
             residual = jnp.where(finished, s.residual, beta)
         return s._replace(
@@ -380,6 +404,7 @@ def _gmres_core(op, b, x0, Pl, Pr, reltol, abstol, restart, maxiter,
             k=jnp.zeros((), jnp.int32),
             restarts=s.restarts + jnp.where(finished, 0, 1).astype(s.restarts.dtype),
             residual=residual,
+            stall=stall,
         )
 
     final = jax.lax.while_loop(lambda s: ~done(s), cycle, state)
@@ -395,7 +420,7 @@ def _gmres_core(op, b, x0, Pl, Pr, reltol, abstol, restart, maxiter,
 _gmres_jit = jax.jit(
     with_highest_precision(_gmres_core),
     static_argnames=("restart", "maxiter", "initially_zero", "orth_method",
-                     "panel_dtype", "verbose"),
+                     "panel_dtype", "verbose", "ir_stall_exit"),
 )
 
 
@@ -411,21 +436,36 @@ def gmres(
     restart: int | None = None,
     maxiter: int | None = None,
     orth_method: str = "mgs",
-    panel_dtype=None,
+    panel_dtype="auto",
+    ir_stall_exit: bool = True,
     log: bool = False,
     verbose: bool = False,
 ):
     """Solve A x = b with restarted GMRES(m) (~ gmres/gmres!,
     src/gmres.jl:143-233).  Stopping is on the *left-preconditioned* residual.
 
-    ``panel_dtype``: optional storage dtype for the Krylov basis.  Passing
-    ``jnp.bfloat16`` on an f32 problem enables mixed-precision GMRES-IR:
-    the panel's HBM traffic (the dominant cost of an Arnoldi iteration at
-    scale) halves, all arithmetic stays f32, and convergence is decided on
-    the true residual recomputed at each restart, so the attainable
-    accuracy is unchanged — only the per-cycle contraction degrades
-    (expect somewhat more restarts).  TPU-native feature, no reference
-    counterpart.
+    ``panel_dtype``: storage dtype for the Krylov basis.  ``bfloat16`` on an
+    f32 problem enables mixed-precision GMRES-IR: the panel's HBM traffic
+    (the dominant cost of an Arnoldi iteration at scale) halves, all
+    arithmetic stays f32, and convergence is decided on the true residual
+    recomputed at each restart, so the attainable accuracy is unchanged —
+    only the per-cycle contraction degrades (occasionally one extra
+    restart; convergence parity pinned by
+    tests/test_gmres.py::test_bf16_panel_convergence_parity).  TPU-native
+    feature, no reference counterpart.
+
+    The default ``"auto"`` picks bfloat16 exactly where it is the measured
+    win AND reliably reaches the requested tolerance — f32 solves on a TPU
+    backend at HBM-bound sizes (n >= 2^20; measured 1.45x per-iteration on
+    the 216^3 Laplacian, BENCH_NOTES) with ``reltol >= 1e-4`` (the f32
+    default sqrt(eps) ~ 3.4e-4 qualifies; the bf16 basis floors near 2e-5
+    true relative residual, measured) — and full precision everywhere
+    else.  Pass ``None`` to force a full-precision panel.
+
+    ``ir_stall_exit``: in IR mode, exit after two consecutive restart
+    cycles with < 0.1% true-residual reduction (``converged=False``)
+    instead of burning the maxiter budget at the bf16 floor.  Set False
+    for run-to-maxiter timing harnesses.
     """
     op = as_operator(A, b)
     Pl = as_preconditioner(Pl)
@@ -438,6 +478,16 @@ def gmres(
     dtype = solve_dtype(op.dtype, b.dtype)
     if x0 is None:
         x0 = jnp.zeros(n, dtype=dtype)
+    if isinstance(panel_dtype, str) and panel_dtype == "auto":
+        try:
+            on_tpu = jax.default_backend() == "tpu"
+        except Exception:  # pragma: no cover - no backend at all
+            on_tpu = False
+        coarse = reltol is None or reltol >= 1e-4
+        panel_dtype = (jnp.bfloat16
+                       if (on_tpu and dtype == jnp.float32
+                           and n >= 1 << 20 and coarse)
+                       else None)
     if panel_dtype is not None:
         panel_dtype = jnp.dtype(panel_dtype)
         if panel_dtype == dtype:
@@ -452,6 +502,7 @@ def gmres(
     res, restarts = _gmres_jit(
         op, b, jnp.asarray(x0), Pl, Pr, reltol_, abstol_, restart, maxiter,
         initially_zero, orth_method, panel_dtype, verbose=bool(verbose),
+        ir_stall_exit=bool(ir_stall_exit),
     )
     if not log:
         return res.x

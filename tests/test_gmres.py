@@ -177,3 +177,58 @@ def test_bf16_panel_stagnation_reported_honestly():
         # stagnated: still made it well past the moderate-tol regime, and
         # the reported state tells the user to rerun with an f32 panel
         assert r <= 5e-5
+
+
+def test_bf16_panel_convergence_parity(rng):
+    """GMRES-IR parity grid (VERDICT r2 item 1): the bfloat16-panel mode
+    must reach every tolerance the f32 panel reaches, within one extra
+    restart cycle, on both benchmark operator families.  Attainable
+    accuracy is identical because convergence is decided on the true f32
+    residual at each restart; only the per-cycle contraction may degrade."""
+    import jax.numpy as jnp
+
+    from iterativesolvers_tpu.utils.fixtures import (
+        advection_diffusion, laplace_dia,
+    )
+
+    m = 20
+    Aad, _bad = advection_diffusion(16, beta=100.0, dtype=np.float32)
+    for A in (laplace_dia(64, 2, dtype=np.float32), Aad):
+        n = A.shape[0]
+        b = rng.standard_normal(n).astype(np.float32)
+        for reltol in (1e-3, 1e-5):
+            x32, h32 = gmres(A, b, restart=m, reltol=reltol,
+                             maxiter=4000, panel_dtype=None, log=True)
+            x16, h16 = gmres(A, b, restart=m, reltol=reltol,
+                             maxiter=4000, panel_dtype=jnp.bfloat16,
+                             log=True)
+            assert h32.isconverged and h16.isconverged
+            # parity: at most one extra restart cycle of iterations
+            assert h16.iters <= h32.iters + m, (h16.iters, h32.iters)
+            nb = np.linalg.norm(b)
+            for x in (x32, x16):
+                r = np.linalg.norm(np.asarray(A.mv(x)) - b) / nb
+                assert r <= 3 * reltol
+
+
+def test_bf16_panel_stall_exit(rng):
+    """Below the bf16 basis floor the IR mode must TERMINATE via the
+    stall detector (converged=False, iters << maxiter), not burn the
+    full maxiter budget; ir_stall_exit=False restores run-to-maxiter."""
+    from iterativesolvers_tpu.utils.fixtures import laplace_dia
+
+    A = laplace_dia(64, 2, dtype=np.float32)
+    b = np.ones(A.shape[0], np.float32)
+    x, h = gmres(A, b, restart=20, reltol=1e-6, maxiter=6000,
+                 panel_dtype=jnp.bfloat16, log=True)
+    assert not h.isconverged
+    assert h.iters < 2000  # measured: stalls near ~800; 6000 without exit
+    # the returned x is still good to the bf16 floor
+    r = np.linalg.norm(np.asarray(A.mv(x)) - b) / np.linalg.norm(b)
+    assert r < 1e-4
+    # auto mode at a tight tolerance must select the f32 panel (no stall):
+    # equality with an explicit f32-panel run pins the dispatch decision
+    xa, ha = gmres(A, b, restart=20, reltol=1e-6, maxiter=6000, log=True)
+    x32, h32 = gmres(A, b, restart=20, reltol=1e-6, maxiter=6000,
+                     panel_dtype=None, log=True)
+    assert ha.iters == h32.iters and ha.isconverged

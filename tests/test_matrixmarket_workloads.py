@@ -144,3 +144,70 @@ def test_elasticity_cg(elasticity, rng):
     assert h.isconverged
     rel = np.linalg.norm(np.asarray(E.mv(np.asarray(x))) - b) / np.linalg.norm(b)
     assert rel < 1e-5
+
+
+# ---- auto_format decisions on the structure-diverse corpus (VERDICT r2 #10)
+
+
+@pytest.fixture(scope="module")
+def band9():
+    return load_matrix_market(os.path.join(MDIR, "fd_band9.mtx"))
+
+
+@pytest.fixture(scope="module")
+def powerlaw():
+    return load_matrix_market(os.path.join(MDIR, "powerlaw_graph.mtx"))
+
+
+@pytest.fixture(scope="module")
+def uniform():
+    return load_matrix_market(os.path.join(MDIR, "uniform_scatter.mtx"))
+
+
+def test_auto_format_picks_dia_on_banded(band9, rng):
+    """9-diagonal FD band: DIA streams 9n elements — the cheapest branch of
+    the cost model by an order of magnitude."""
+    from iterativesolvers_tpu.operators.sparse import DIAMatrix
+
+    stats = band9.structure_stats()
+    assert stats["ndiag"] == 9 and stats["bandwidth"] == 4
+    op, perm = band9.auto_format()
+    assert isinstance(op, DIAMatrix) and perm is None
+    # pipeline sanity: CG through the chosen format
+    x_true = rng.standard_normal(band9.shape[0])
+    b = np.asarray(band9.mv(x_true))
+    x, h = its.cg(op, b, reltol=1e-8, maxiter=4000, log=True)
+    assert h.isconverged
+
+
+def test_auto_format_picks_hyb_on_powerlaw(powerlaw):
+    """Power-law degree skew (hub rows two orders wider than the median):
+    ELL would pad every row to max_degree; the HYB split amortizes the tail."""
+    from iterativesolvers_tpu.operators.sparse import HYBMatrix
+
+    stats = powerlaw.structure_stats()
+    assert stats["max_degree"] > 8 * stats["mean_degree"]  # genuine skew
+    op, perm = powerlaw.auto_format()
+    assert isinstance(op, HYBMatrix) and perm is None
+    # chosen width strictly below the max degree (a real split, not ELL)
+    assert op.ell.data.shape[1] < stats["max_degree"]
+    assert op.tail_vals.size > 0
+    b = np.ones(powerlaw.shape[0], np.float32)
+    x = its.cg(op, b, reltol=1e-6, maxiter=2000)
+    r = np.linalg.norm(np.asarray(powerlaw.mv(np.asarray(x))) - b)
+    assert r / np.linalg.norm(b) < 1e-4
+
+
+def test_auto_format_picks_ell_on_uniform(uniform):
+    """Exactly-uniform degree, unstructured columns: no tail to split (HYB
+    degenerates to ELL at equal cost), no bands (DIA ~ n diagonals)."""
+    from iterativesolvers_tpu.operators.sparse import ELLMatrix
+
+    stats = uniform.structure_stats()
+    assert stats["max_degree"] == 9 and stats["ndiag"] > 1000
+    op, perm = uniform.auto_format()
+    assert isinstance(op, ELLMatrix) and perm is None
+    b = np.ones(uniform.shape[0], np.float32)
+    x = its.gmres(op, b, restart=20, reltol=1e-6, maxiter=400)
+    r = np.linalg.norm(np.asarray(uniform.mv(np.asarray(x))) - b)
+    assert r / np.linalg.norm(b) < 1e-4

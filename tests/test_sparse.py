@@ -394,3 +394,30 @@ def test_mv_rows_matches_dense_all_formats(rng, dtype):
         got = np.asarray(op.mv_rows(Xr))
         np.testing.assert_allclose(got, want, rtol=rt, atol=1e-6,
                                    err_msg=type(op).__name__)
+
+
+def test_ell_chunked_gather_matches_monolithic(rng):
+    """with_chunked_gather splits the SpMV row gather into bounded chunks
+    (backend-fault mitigation knob, BENCH_NOTES round 2) — same math up to
+    f32 summation order, adjoint included, stable under jit/pytree."""
+    import jax
+    import jax.numpy as jnp
+
+    from iterativesolvers_tpu.utils.fixtures import random_sparse
+
+    A = random_sparse(300, 200, 0.05, seed=1, dtype=np.float32)
+    ell = A.to_ell().with_adjoint()
+    ellc = ell.with_chunked_gather(64)
+    x = rng.standard_normal(200).astype(np.float32)
+    z = rng.standard_normal(300).astype(np.float32)
+    np.testing.assert_allclose(np.asarray(ellc.mv(x)), np.asarray(ell.mv(x)),
+                               rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(ellc.rmv(z)), np.asarray(ell.rmv(z)),
+                               rtol=1e-4, atol=1e-6)
+    # jit via the pytree path (chunking must ride the aux, not the trace)
+    f = jax.jit(lambda op, v: op.mv(v))
+    np.testing.assert_allclose(np.asarray(f(ellc, jnp.asarray(x))),
+                               np.asarray(ell.mv(x)), rtol=1e-4, atol=1e-6)
+    # chunk >= n degenerates to the monolithic gather
+    assert np.array_equal(np.asarray(ell.with_chunked_gather(4096).mv(x)),
+                          np.asarray(ell.mv(x)))

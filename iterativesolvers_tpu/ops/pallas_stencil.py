@@ -86,10 +86,14 @@ class StencilPlan:
         self.outer_idx = outer_idx
 
 
-def stencil_plan(n: int, terms, conj: bool = False) -> StencilPlan | None:
+def stencil_plan(n: int, terms, conj: bool = False,
+                 target_block: int | None = None) -> StencilPlan | None:
     """Plan the launch; returns None when the configuration has no efficient
-    kernel (falls back to the XLA path)."""
+    kernel (falls back to the XLA path).  ``target_block`` overrides the
+    default block-size target (sweep knob for per-worker tuning,
+    benchmarks/tpu_stencil_sweep.py)."""
     n = int(n)
+    tb = int(target_block) if target_block else _TARGET_BLOCK
     if n < 2 * _LANE:
         return None
     eff = []
@@ -110,7 +114,7 @@ def stencil_plan(n: int, terms, conj: bool = False) -> StencilPlan | None:
     base = math.lcm(period, _LANE)
     if base > _MAX_BLOCK:
         return None
-    block = base * max(1, _TARGET_BLOCK // base)
+    block = base * max(1, tb // base)
     nb = -(-n // block)
     reps = block // period
     if halo > block:

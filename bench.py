@@ -188,13 +188,13 @@ def main():
     # 240 -> 12 cycles (240 bodies); diff = 260 bodies + 13 cycle
     # boundaries, credited as 260 iters (boundary cost is part of the
     # per-iteration amortized model below).
-    def timed_gmres(maxiter, reps=3, panel_dtype=jnp.bfloat16):
+    def timed_gmres(maxiter, reps=3, panel_dtype=jnp.bfloat16, op=St):
         # panel default = bfloat16: the library's auto mode at this size
         # and the DEFAULT f32 tolerance (gmres resolves "auto" by tolerance,
         # and these timing runs use reltol=0 to pin the iteration count, so
         # the auto rule must be bypassed here).  ir_stall_exit=False keeps
         # the run-to-maxiter semantics the differential needs.
-        x = its.gmres(St, b, restart=20, reltol=0.0, abstol=1e-30,
+        x = its.gmres(op, b, restart=20, reltol=0.0, abstol=1e-30,
                       maxiter=maxiter, panel_dtype=panel_dtype,
                       ir_stall_exit=False)
         fence(x)
@@ -202,7 +202,7 @@ def main():
         for r in range(reps):
             bb = b + jnp.float32(1e-6 * (r + 1) * maxiter)
             t0 = time.perf_counter()
-            x = its.gmres(St, bb, restart=20, reltol=0.0, abstol=1e-30,
+            x = its.gmres(op, bb, restart=20, reltol=0.0, abstol=1e-30,
                           maxiter=maxiter, panel_dtype=panel_dtype,
                           ir_stall_exit=False)
             fence(x)
@@ -215,7 +215,14 @@ def main():
     # decided on the true f32 residual each restart).  The explicit
     # f32-panel path is reported as detail.
     iters_g = 500 - 240
-    dt_g = max(timed_gmres(500) - timed_gmres(240), 1e-9)
+    # same two-operator-paths policy as the CG headline: matrix-free
+    # stencil vs stored DIA for the same matrix, faster path wins
+    dt_g_st = max(timed_gmres(500) - timed_gmres(240), 1e-9)
+    dt_g_dia = max(timed_gmres(500, op=A) - timed_gmres(240, op=A), 1e-9)
+    if dt_g_st <= dt_g_dia:
+        dt_g, g_op_winner = dt_g_st, "stencil_pallas"
+    else:
+        dt_g, g_op_winner = dt_g_dia, "stored_dia_xla"
     g_iter_time = dt_g / iters_g
     g_nnz_per_s = nnz * iters_g / dt_g
     # full-precision panel variant: same iteration count by construction
@@ -271,8 +278,11 @@ def main():
             "restart": 20,
             "timed_iters": iters_g,
             "us_per_iter": round(g_iter_time * 1e6, 1),
+            "operator_path": g_op_winner,
+            "us_per_iter_stencil": round(dt_g_st / iters_g * 1e6, 1),
+            "us_per_iter_dia": round(dt_g_dia / iters_g * 1e6, 1),
             "panel_dtype_headline": "bfloat16 (library default at this size)",
-            "us_per_iter_f32_panel": round(g32_iter_time * 1e6, 1),
+            "us_per_iter_f32_panel_stencil": round(g32_iter_time * 1e6, 1),
             "us_per_spmv": round(t_mv * 1e6, 1),
             "orthogonalization_share": round(orth_share, 3),
             "frac_hbm_roofline": round(g_frac, 4),

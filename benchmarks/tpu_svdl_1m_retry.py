@@ -12,6 +12,13 @@ Outcome either way closes the item:
   * a measured 1M-scale svdl number (chunking works), or
   * a documented still-faults repro line per chunk size.
 
+OUTCOME (2026-08-19, round 3): still faults at chunk_rows 131072 AND 8192
+(128 sequential 8192-row gathers per SpMV) — the crash is triggered by the
+workload scale itself, not by any single gather op's size.  The worker
+recovers after ~minutes; half scale (524288 x 131072) remains clean and is
+the pinned bench scale (benchmarks/tpu_eigen_bench.py).  Full repro data
+in BENCH_NOTES round 3.
+
 Run: nohup python benchmarks/tpu_svdl_1m_retry.py > /tmp/svdl1m.txt 2>&1 &
 """
 
@@ -38,7 +45,7 @@ def main():
     m, k = 1_048_576, 262_144
     ell = random_sparse(m, k, 8.0 / k, seed=5, dtype=np.float32).to_ell()
 
-    for chunk in (131_072, 32_768):
+    for chunk in (131_072, 8_192):
         S = ell.with_chunked_gather(chunk).with_adjoint()
         print(json.dumps({"stage": "attempt", "m": m, "k": k,
                           "gather_chunk_rows": chunk}), flush=True)

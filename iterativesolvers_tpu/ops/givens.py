@@ -43,3 +43,40 @@ def givens(a, b):
 def apply_givens(c, s, x, y):
     """Apply the rotation to a pair (x, y) -> (c*x + s*y, -conj(s)*x + c*y)."""
     return c * x + s * y, -jnp.conj(s) * x + c * y
+
+
+def apply_givens_chain(cs, ss, col):
+    """Apply stored rotations G_0..G_{m-1} pairwise-sequentially to a new
+    Hessenberg column: the incremental-QR update loop
+
+        for j in 0..m-1:  (col[j], col[j+1]) = G_j (col[j], col[j+1])
+
+    vectorized.  The carry t_{j+1} = -conj(s_j) t_j + c_j col[j+1] is a
+    first-order affine recurrence, so the whole chain is one parallel
+    ``associative_scan`` over (m,) scalars instead of m sequential scalar
+    rotations (measured: the fori_loop form costs ~90 us/iter of op-launch
+    latency at m=20 on TPU — ~6% of a GMRES iteration).
+
+    ``cs`` may be real while ``ss``/``col`` are complex (the storage split
+    the solvers use); rotations beyond the active k must be identities
+    (c=1, s=0), which make the recurrence a no-op there — same contract as
+    the loop form.
+    """
+    import jax
+
+    h = col[1:]                       # col[j+1] for j = 0..m-1
+    dtype = jnp.result_type(cs, ss, col)
+    A = (-jnp.conj(ss)).astype(dtype)
+    B = cs.astype(dtype) * h.astype(dtype)
+
+    def comb(x, y):
+        a1, b1 = x
+        a2, b2 = y
+        return a1 * a2, a2 * b1 + b2
+
+    cumA, cumB = jax.lax.associative_scan(comb, (A, B))
+    # t_0 = col[0]; t_j (j >= 1) = cumA[j-1] * t_0 + cumB[j-1]
+    t = jnp.concatenate([col[:1].astype(dtype),
+                         cumA * col[0].astype(dtype) + cumB])
+    out = cs.astype(dtype) * t[:-1] + ss.astype(dtype) * h.astype(dtype)
+    return jnp.concatenate([out, t[-1:]]).astype(col.dtype)

@@ -43,7 +43,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .pallas_mgs import mgs_pad, panel_mgs_plan
 
-__all__ = ["fused_arnoldi", "fused_arnoldi_plan", "FusedArnoldiPlan"]
+__all__ = ["fused_arnoldi", "fused_arnoldi_plan", "stencil_panel_mv",
+           "FusedArnoldiPlan"]
 
 # Tests flip this to run the kernel through the Pallas interpreter on CPU.
 _INTERPRET = False
@@ -385,3 +386,158 @@ def fused_arnoldi(plan: FusedArnoldiPlan, V, k, do, center, inner_coeffs,
       jnp.asarray(do, jnp.int32).reshape(1),
       scal, panel2d, *mcs)
     return Vp.reshape(pshape), h, nrm[0, 0]
+
+
+# ---------------------------------------------------------------------------
+# Panel-native stencil SpMV: w = A @ V[k], straight from/to panel layout
+# ---------------------------------------------------------------------------
+
+
+def _mv_kernel(plan: FusedArnoldiPlan, n_inner, n_outer,
+               k_ref, scal, panel_in, *rest):
+    """Single grid step; chunk loop Python-unrolled with STATIC DMA bounds
+    (the proven structure of the fused kernel's phase 0), w leaves through
+    double-buffered output DMAs instead of a VMEM-resident accumulator."""
+    mcs = rest[:n_inner]
+    (w_out, vwin, obuf, sem_v, sem_o) = rest[n_inner:]
+    f32 = jnp.float32
+    CR, HR, NCK = plan.chunk_rows, plan.halo_rows, plan.n_chunks
+    WR = CR + 2 * HR + 8
+    nrows, nv = plan.nrows, plan.nv
+    base_k = k_ref[0] * nrows
+
+    def win_dma(ci):
+        slot = ci % 2
+        lo = max(0, ci * CR - HR)
+        hi = min(nrows, ci * CR + CR + HR + 8)
+        doff = lo - (ci * CR - HR)
+        return pltpu.make_async_copy(
+            panel_in.at[pl.ds(base_k + lo, hi - lo), :],
+            vwin.at[pl.ds(slot * WR + doff, hi - lo), :],
+            sem_v.at[slot],
+        ), doff, hi - lo
+
+    pending = []      # (gbase, sr) per started writeback, in order
+
+    def out_start(gbase, sr, out):
+        widx = len(pending)
+        if widx >= 2:
+            out_wait(widx - 2)
+        obuf[pl.ds((widx % 2) * _CROWS, sr), :] = out
+        pltpu.make_async_copy(
+            obuf.at[pl.ds((widx % 2) * _CROWS, sr), :],
+            w_out.at[pl.ds(gbase, sr), :],
+            sem_o.at[widx % 2],
+        ).start()
+        pending.append((gbase, sr))
+
+    def out_wait(widx):
+        gbase, sr = pending[widx]
+        pltpu.make_async_copy(
+            obuf.at[pl.ds((widx % 2) * _CROWS, sr), :],
+            w_out.at[pl.ds(gbase, sr), :],
+            sem_o.at[widx % 2],
+        ).wait()
+
+    win_dma(0)[0].start()
+    for ci in range(NCK):
+        slot = ci % 2
+        if ci + 1 < NCK:
+            win_dma(ci + 1)[0].start()
+        cur, doff, rows = win_dma(ci)
+        cur.wait()
+        if doff > 0:
+            vwin[pl.ds(slot * WR, doff), :] = jnp.zeros(
+                (doff, _LANES), vwin.dtype)
+        tail = WR - doff - rows
+        if tail > 0:
+            vwin[pl.ds(slot * WR + doff + rows, tail), :] = jnp.zeros(
+                (tail, _LANES), vwin.dtype)
+        s0 = slot * WR + HR
+        wbase = ci * CR
+        wrows = min(CR, nrows - wbase)
+        sub = 0
+        while sub < wrows:
+            sr = min(_CROWS, wrows - sub)
+            gbase = wbase + sub
+            xc = vwin[pl.ds(s0 + sub, sr), :].astype(f32)
+            out = scal[0, 0] * xc
+            for t in range(n_inner):
+                off = plan.inner[t][0]
+                mc = (mcs[t][pl.ds(sub, sr), :].astype(f32)
+                      * scal[0, 1 + n_outer + t])
+                out = out + mc * _flat_shift(vwin, s0 + sub, sr, off, f32)
+            for t in range(n_outer):
+                off = plan.outer[t][0]
+                out = out + scal[0, 1 + t] * _flat_shift(
+                    vwin, s0 + sub, sr, off, f32)
+            # zero the vector-pad region (rows >= nv; ragged lanes at nv-1)
+            if gbase + sr > nv - 1:
+                rowi = jax.lax.broadcasted_iota(jnp.int32, (sr, _LANES), 0)
+                lanei = jax.lax.broadcasted_iota(jnp.int32, (sr, _LANES), 1)
+                gpos = (gbase + rowi) * _LANES + lanei
+                out = jnp.where(gpos < plan.n, out, 0.0)
+            # stage + async writeback, double-buffered on sub-tile parity
+            out_start(gbase, sr, out)
+            sub += sr
+    # zero any pure-pad rows past the last computed sub-tile (nv..nrows)
+    zbase = min(NCK * CR, nrows)
+    # (nrows rounds to 512-row chunks; computed sub-tiles cover ci*CR+...
+    #  up to min(NCK*CR, nrows), which is >= nv by construction, and the
+    #  gpos mask already zeroed rows in [nv, zbase))
+    r0 = zbase
+    while r0 < nrows:
+        sr = min(_CROWS, nrows - r0)
+        out_start(r0, sr, jnp.zeros((sr, _LANES), f32))
+        r0 += sr
+    # drain the last two outstanding writebacks
+    for d in range(max(0, len(pending) - 2), len(pending)):
+        out_wait(d)
+
+
+def stencil_panel_mv(plan: FusedArnoldiPlan, V, k, center, inner_coeffs,
+                     outer_coeffs, m1: int, *, interpret: bool | None = None):
+    """w = A @ V[k] computed straight from the (m1, rows, 512) panel.
+
+    The Krylov vector is read out of the panel (any storage dtype,
+    bfloat16 included) through a sliding VMEM window and the f32 result is
+    written in the SAME padded (rows, 512) layout ``panel_mgs`` consumes —
+    no flat (n,) materialization, no pad copy, no dtype-convert pass
+    (measured round 3: those cost ~225 us/iter of the GMRES step at
+    n = 216^3).  Returns ``w2d`` of shape (rows, 512) f32 with the pad
+    region zeroed.
+    """
+    if interpret is None:
+        interpret = _INTERPRET
+    dtype = jnp.float32
+    n_inner, n_outer = len(plan.inner), len(plan.outer)
+    mcs = [_mask_tile(plan, t) for t in range(n_inner)]
+    scal = jnp.concatenate(
+        [jnp.asarray(c, dtype).reshape(1) for c in
+         (center, *outer_coeffs, *inner_coeffs)]
+    ).reshape(1, 1 + n_outer + n_inner)
+    panel2d = V.reshape(m1 * plan.nrows, _LANES)
+    WR = plan.chunk_rows + 2 * plan.halo_rows + 8
+
+    kern = partial(_mv_kernel, plan, n_inner, n_outer)
+    w2d = pl.pallas_call(
+        kern,
+        grid=(1,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),           # k
+            pl.BlockSpec(memory_space=pltpu.SMEM),           # scalars
+            pl.BlockSpec(memory_space=pl.ANY),               # panel (HBM)
+        ] + [pl.BlockSpec((plan.chunk_rows, _LANES), lambda j: (0, 0))
+             for _ in range(n_inner)],                        # mask tiles
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),          # w (HBM)
+        out_shape=jax.ShapeDtypeStruct((plan.nrows, _LANES), dtype),
+        scratch_shapes=[
+            pltpu.VMEM((2 * WR, _LANES), panel2d.dtype),      # windows
+            pltpu.VMEM((2 * _CROWS, _LANES), dtype),          # out staging
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 2**20),
+        interpret=interpret,
+    )(jnp.asarray(k, jnp.int32).reshape(1), scal, panel2d, *mcs)
+    return w2d

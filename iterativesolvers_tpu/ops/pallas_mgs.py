@@ -167,7 +167,8 @@ def _kernel(n, n_pad, nc, m1,
         nrm_ref[0, 0] = nrm
 
 
-def panel_mgs(V, w, k, m1: int, *, interpret: bool | None = None):
+def panel_mgs(V, w, k, m1: int, *, n: int | None = None,
+              interpret: bool | None = None):
     """Orthogonalize w against rows 0..k of the padded row panel and
     normalize.
 
@@ -175,7 +176,10 @@ def panel_mgs(V, w, k, m1: int, *, interpret: bool | None = None):
       V: the row panel, ideally ALREADY in the (m1, rows, 512) layout of
         ``mgs_row_shape`` (any shape of size m1 * n_pad is accepted, but
         only major-dim reshapes are free on TPU — see ``mgs_row_shape``).
-      w: (n,) vector to orthogonalize (unpadded).
+      w: (n,) vector to orthogonalize (unpadded), OR an already-padded
+        (rows, 512) block with zero pad region (e.g. straight from
+        ``ops.pallas_arnoldi.stencil_panel_mv`` — skips the pad copy);
+        the 2-D form requires ``n``.
       k: int32 scalar — rows 0..k participate (rows beyond are skipped).
       m1: static panel row count (= restart + 1).
 
@@ -186,14 +190,24 @@ def panel_mgs(V, w, k, m1: int, *, interpret: bool | None = None):
     """
     if interpret is None:
         interpret = _INTERPRET
-    n = w.shape[0]
-    plan = panel_mgs_plan(n, w.dtype, V.dtype)
-    if plan is None:
-        raise ValueError("panel_mgs does not apply to this configuration")
-    n_pad, nc = plan["n_pad"], plan["nc"]
+    if w.ndim == 2:
+        if n is None:
+            raise ValueError("panel_mgs with a padded 2-D w requires n")
+        plan = panel_mgs_plan(n, w.dtype, V.dtype)
+        if plan is None:
+            raise ValueError("panel_mgs does not apply to this configuration")
+        n_pad, nc = plan["n_pad"], plan["nc"]
+        assert w.size == n_pad, (w.shape, n_pad)
+        w2d = w.reshape(-1, _LANES)
+    else:
+        n = w.shape[0]
+        plan = panel_mgs_plan(n, w.dtype, V.dtype)
+        if plan is None:
+            raise ValueError("panel_mgs does not apply to this configuration")
+        n_pad, nc = plan["n_pad"], plan["nc"]
+        w2d = jnp.zeros((n_pad,), w.dtype).at[:n].set(w).reshape(-1, _LANES)
     assert V.size == m1 * n_pad, (V.shape, m1, n_pad)
     panel2d = V.reshape(m1 * (n_pad // _LANES), _LANES)
-    w2d = jnp.zeros((n_pad,), w.dtype).at[:n].set(w).reshape(-1, _LANES)
 
     kern = partial(_kernel, n, n_pad, nc, m1)
     nrows = n_pad // _LANES

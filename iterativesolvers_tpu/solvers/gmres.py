@@ -36,10 +36,10 @@ import jax.numpy as jnp
 
 from ..operators.linear_operator import as_operator
 from ..operators.preconditioners import as_preconditioner
-from ..ops.givens import apply_givens, givens
+from ..ops.givens import apply_givens, apply_givens_chain, givens
 from ..ops.hessenberg import back_substitute
 from ..ops.orthogonalize import orthogonalize_and_normalize_rows
-from ..ops.pallas_arnoldi import fused_arnoldi, fused_arnoldi_plan
+from ..ops.pallas_arnoldi import fused_arnoldi, fused_arnoldi_plan, stencil_panel_mv
 from ..ops.pallas_mgs import mgs_row_shape, panel_mgs, panel_mgs_plan
 from ..ops.pallas_stencil import pallas_is_available
 from ..utils.dtypes import real_dtype, solve_dtype
@@ -72,9 +72,9 @@ def _use_panel_mgs(n, dtype, orth_method, panel_dtype=None):
             and panel_mgs_plan(n, dtype, panel_dtype) is not None)
 
 
-def _fused_setup(op, Pl, Pr, n, dtype, orth_method, panel_dtype=None,
-                 force: bool = False):
-    """Static dispatch for the single-launch fused Arnoldi kernel
+def _stencil_panel_setup(op, Pl, Pr, n, dtype, orth_method, panel_dtype=None,
+                         force: bool = False):
+    """Static dispatch shared by the panel-native stencil kernels
     (ops/pallas_arnoldi.py): unpreconditioned stencil operator, f32 solve,
     MGS, on TPU.  Returns ``(plan, center, inner_coeffs, outer_coeffs)`` or
     None.  ``force`` bypasses the backend gate (interpret-mode tests)."""
@@ -89,19 +89,26 @@ def _fused_setup(op, Pl, Pr, n, dtype, orth_method, panel_dtype=None,
         return None
     if dtype != jnp.float32:
         return None
-    if panel_dtype is not None and jnp.dtype(panel_dtype) != dtype:
-        # measured head-to-head (benchmarks/fused_arnoldi_ab.py, round 3,
-        # 216^3): the fused kernel ties the two-kernel pipeline on f32
-        # panels (2314.9 vs 2317.9 us/iter) but loses ~1.5% on bf16 panels
-        # (1565.0 vs 1541.3) — bf16 windows halve the streamed bytes, so
-        # the saved HBM round trips no longer cover the extra kernel sync
-        return None
     plan = fused_arnoldi_plan(n, op.terms, dtype, panel_dtype)
     if plan is None:
         return None
     inner_c = [op.coeffs[i] for i in plan.inner_idx]
     outer_c = [op.coeffs[i] for i in plan.outer_idx]
     return (plan, op.center, inner_c, outer_c)
+
+
+def _fused_setup(op, Pl, Pr, n, dtype, orth_method, panel_dtype=None,
+                 force: bool = False):
+    """Dispatch for the single-launch FUSED Arnoldi kernel: f32 panels only
+    — measured head-to-head (benchmarks/fused_arnoldi_ab.py, round 3,
+    216^3): the fused kernel ties the two-kernel pipeline on f32 panels
+    (2314.9 vs 2317.9 us/iter) but loses ~1.5% on bf16 panels (1565.0 vs
+    1541.3); bf16 panels instead get the panel-native SpMV
+    (``stencil_panel_mv``) feeding ``panel_mgs`` directly."""
+    if panel_dtype is not None and jnp.dtype(panel_dtype) != dtype:
+        return None
+    return _stencil_panel_setup(op, Pl, Pr, n, dtype, orth_method,
+                                panel_dtype, force)
 
 
 def _pad_row(vec, vtail):
@@ -136,7 +143,7 @@ def _fresh_cycle(op, Pl, b, x, m, dtype, vtail, vdtype=None):
 
 def _arnoldi_step(op, Pl, Pr, state: GMRESState, orth_method: str,
                   maxiter: int | None = None, masked: bool = False,
-                  fused=None, verbose: bool = False):
+                  fused=None, panel_mv=None, verbose: bool = False):
     """One Arnoldi expansion + incremental QR update.
 
     With ``masked=True`` the step runs unconditionally but every state write
@@ -165,6 +172,15 @@ def _arnoldi_step(op, Pl, Pr, state: GMRESState, orth_method: str,
         V_new, h, nrm = fused_arnoldi(plan, state.V, k, do, center,
                                       inner_c, outer_c, m + 1)
         w = None
+    elif panel_mv is not None and state.V.ndim == 3:
+        # panel-native SpMV: w = A V[k] computed straight from/to the
+        # (rows, 512) panel layout — no flat (n,) materialization, no pad
+        # copy, no dtype-convert pass (~225 us/iter at 216^3, profiled)
+        plan, center, inner_c, outer_c = panel_mv
+        V_new = None
+        w2d = stencil_panel_mv(plan, state.V, k, center, inner_c, outer_c,
+                               m + 1)
+        w, h, nrm = panel_mgs(state.V, w2d, k, m + 1, n=n)
     else:
         # expand! (src/gmres.jl:285-304): w = Pl^{-1} A Pr^{-1} v_k
         row = jax.lax.dynamic_slice_in_dim(state.V, k, 1, axis=0)[0]
@@ -182,14 +198,10 @@ def _arnoldi_step(op, Pl, Pr, state: GMRESState, orth_method: str,
     # Hessenberg column: h[0..k] + subdiagonal nrm at k+1
     hcol = h.at[k + 1].set(nrm.astype(h.dtype))
 
-    # apply stored rotations (identity beyond k, so unmasked loop is exact)
-    def rot_body(j, col):
-        a, bb = apply_givens(state.cs[j], state.ss[j], col[j], col[j + 1])
-        return col.at[j].set(a).at[j + 1].set(bb)
-
-    # rotations j >= k are identity (cs=1, ss=0), so the unmasked loop equals
-    # applying only the first k rotations
-    hcol = jax.lax.fori_loop(0, m, rot_body, hcol)
+    # apply stored rotations (identity beyond k, cs=1/ss=0, so the full
+    # chain equals applying only the first k) — vectorized parallel-scan
+    # form; the sequential fori_loop costs ~90 us/iter of launch latency
+    hcol = apply_givens_chain(state.cs, state.ss, hcol)
     c, s, r = givens(hcol[k], hcol[k + 1])
     hcol = hcol.at[k].set(r).at[k + 1].set(0)
     gk, gk1 = apply_givens(c, s, state.g[k], state.g[k + 1])
@@ -263,6 +275,12 @@ def _gmres_prepare(op, b, x0, Pl, Pr, reltol, abstol, restart, maxiter,
     tol = tolerance(beta, reltol, abstol)
     n = b.shape[0]
     fused = _fused_setup(op, Pl, Pr, n, dtype, orth_method, vdtype)
+    panel_mv = (None if fused is not None else
+                _stencil_panel_setup(op, Pl, Pr, n, dtype, orth_method,
+                                     vdtype))
+    if panel_mv is not None and not _use_panel_mgs(n, dtype, orth_method,
+                                                   vdtype):
+        panel_mv = None
     vtail = (mgs_row_shape(n)
              if (fused is not None
                  or _use_panel_mgs(n, dtype, orth_method, vdtype))
@@ -290,7 +308,8 @@ def _gmres_prepare(op, b, x0, Pl, Pr, reltol, abstol, restart, maxiter,
         return (s.kt < maxiter) & (s.residual > s.tol) & (s.stall < 2)
 
     def body(s):
-        s = _arnoldi_step(op, Pl, Pr, s, orth_method, fused=fused)
+        s = _arnoldi_step(op, Pl, Pr, s, orth_method, fused=fused,
+                          panel_mv=panel_mv)
         cycle_over = (s.k >= m) | (s.residual <= s.tol) | (s.kt >= maxiter)
 
         def do_finalize(st):
@@ -355,8 +374,14 @@ def _gmres_core(op, b, x0, Pl, Pr, reltol, abstol, restart, maxiter,
     )
     vdtype = state.V.dtype
     b_ = jnp.asarray(b).astype(dtype)
-    fused = _fused_setup(op, Pl, Pr, b.shape[0], dtype, orth_method,
-                         jnp.dtype(panel_dtype) if panel_dtype else None)
+    _pd = jnp.dtype(panel_dtype) if panel_dtype else None
+    fused = _fused_setup(op, Pl, Pr, b.shape[0], dtype, orth_method, _pd)
+    panel_mv = (None if fused is not None else
+                _stencil_panel_setup(op, Pl, Pr, b.shape[0], dtype,
+                                     orth_method, _pd))
+    if panel_mv is not None and not _use_panel_mgs(b.shape[0], dtype,
+                                                   orth_method, _pd):
+        panel_mv = None
 
     def cycle(s):
         # entry residual: in IR mode this is the cycle-start TRUE residual
@@ -367,7 +392,8 @@ def _gmres_core(op, b, x0, Pl, Pr, reltol, abstol, restart, maxiter,
             0, m,
             lambda _, st: _arnoldi_step(op, Pl, Pr, st, orth_method,
                                         maxiter=maxiter, masked=True,
-                                        fused=fused, verbose=verbose),
+                                        fused=fused, panel_mv=panel_mv,
+                                        verbose=verbose),
             s,
         )
         # finalize: R/g/k froze exactly at convergence, so the masked-length

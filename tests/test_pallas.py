@@ -466,3 +466,78 @@ def test_gmres_fused_arnoldi_integration(monkeypatch):
     r = float(jnp.linalg.norm(b - St.mv(x)) / jnp.linalg.norm(b))
     r_ref = float(jnp.linalg.norm(b - St.mv(x_ref)) / jnp.linalg.norm(b))
     assert r <= 1.05 * r_ref + 1e-6
+
+
+# ---------------- panel-native stencil SpMV (stencil_panel_mv) -------------
+
+
+@pytest.mark.parametrize("panel_dtype", [np.float32, "bfloat16"],
+                         ids=["f32", "bf16"])
+def test_stencil_panel_mv_matches_operator(panel_dtype):
+    """w = A V[k] straight from the (rows, 512) panel, both panel dtypes;
+    pad region zero, f32 output."""
+    import iterativesolvers_tpu as its
+    from iterativesolvers_tpu.ops.pallas_arnoldi import (
+        fused_arnoldi_plan, stencil_panel_mv,
+    )
+    from iterativesolvers_tpu.ops.pallas_mgs import mgs_pad
+
+    pd = jnp.bfloat16 if panel_dtype == "bfloat16" else jnp.float32
+    St = its.laplacian(1024, 2, dtype=np.float32)  # n = 1,048,576
+    n = St.n
+    plan = fused_arnoldi_plan(n, St.terms, jnp.float32, pd)
+    assert plan is not None
+    n_pad = mgs_pad(n)
+    m1, k = 4, 2
+    r = np.random.default_rng(3)
+    V = np.zeros((m1, n_pad), np.float32)
+    V[: k + 1, :n] = r.standard_normal((k + 1, n)).astype(np.float32)
+    Vj = jnp.asarray(V.reshape(m1, n_pad // 512, 512)).astype(pd)
+    w2d = stencil_panel_mv(
+        plan, Vj, jnp.int32(k), St.center,
+        [St.coeffs[i] for i in plan.inner_idx],
+        [St.coeffs[i] for i in plan.outer_idx],
+        m1, interpret=True)
+    assert w2d.dtype == jnp.float32
+    w = np.asarray(w2d).reshape(-1)
+    vk = np.asarray(Vj[k]).reshape(-1)[:n].astype(np.float32)
+    w_ref = np.asarray(St.mv(jnp.asarray(vk)))
+    np.testing.assert_allclose(w[:n], w_ref, rtol=1e-5,
+                               atol=1e-5 * np.abs(w_ref).max())
+    assert np.abs(w[n:]).max(initial=0.0) == 0.0
+
+
+def test_gmres_panel_mv_integration(monkeypatch):
+    """bf16-panel GMRES routed through stencil_panel_mv + padded-w
+    panel_mgs (interpreted) matches the plain XLA bf16-panel path."""
+    from functools import partial
+
+    import iterativesolvers_tpu as its
+    import iterativesolvers_tpu.ops.pallas_arnoldi as pa
+    import iterativesolvers_tpu.ops.pallas_mgs as pm
+    import iterativesolvers_tpu.solvers.gmres as g
+    from iterativesolvers_tpu.ops.pallas_mgs import panel_mgs_plan
+
+    St = its.laplacian(1024, 2, dtype=np.float32)
+    St = type(St)(St.n, 5.0, St.terms, St.coeffs)
+    rng = np.random.default_rng(5)
+    b = jnp.asarray(rng.standard_normal(St.n).astype(np.float32))
+
+    x_ref = its.gmres(St, b, restart=4, maxiter=8, reltol=1e-6,
+                      panel_dtype=jnp.bfloat16)  # XLA path
+    monkeypatch.setattr(pa, "_INTERPRET", True)
+    monkeypatch.setattr(pm, "_INTERPRET", True)
+    monkeypatch.setattr(g, "_fused_setup", lambda *a, **k: None)
+    monkeypatch.setattr(g, "_stencil_panel_setup",
+                        partial(g._stencil_panel_setup, force=True))
+    monkeypatch.setattr(
+        g, "_use_panel_mgs",
+        lambda n, dtype, om, pd=None: (
+            om == "mgs" and panel_mgs_plan(n, dtype, pd) is not None))
+    x = its.gmres(St, b, restart=4, maxiter=8, reltol=1e-6,
+                  panel_dtype=jnp.bfloat16)
+    np.testing.assert_allclose(np.asarray(x), np.asarray(x_ref),
+                               rtol=2e-3, atol=1e-4)
+    r = float(jnp.linalg.norm(b - St.mv(x)) / jnp.linalg.norm(b))
+    r_ref = float(jnp.linalg.norm(b - St.mv(x_ref)) / jnp.linalg.norm(b))
+    assert r <= 1.1 * r_ref + 1e-6

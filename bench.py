@@ -52,6 +52,12 @@ def main():
     # Laplacian" north-star workload), 7 diagonals -> ~70M nnz
     A = laplace_dia(side, 3, dtype=np.float32)
     St = its.laplacian(side, 3, dtype=np.float32)  # same matrix, matrix-free
+    # third path: bf16 value stream.  The Laplacian's values {6,-1,0} are
+    # bf16-exact, so compress_values halves the dominant diag stream with
+    # zero numerical effect (products promote to f32 before accumulating;
+    # measured 1.35x CG per-iter, benchmarks/tpu_bf16dia_ab.py).
+    Ac = its.compress_values(A)
+    assert Ac.dtype == jnp.bfloat16  # exactness-checked compression applied
     n = A.shape[0]
     nnz = int(sum(int(np.count_nonzero(d)) for d in A._h_diags))
     b = jnp.ones((n,), jnp.float32)
@@ -84,10 +90,10 @@ def main():
             best = min(best, time.perf_counter() - t0)
         return best
 
-    # two operator paths for the same matrix: stored-DIA streams, and the
-    # matrix-free stencil (zero stored data — the flagship path for the
-    # constant-coefficient Laplace family).  Headline = the faster of the
-    # two on the current worker (selection logic below); both reported.
+    # three operator paths for the same matrix: stored-DIA f32 streams, the
+    # bf16-compressed DIA (exact for this matrix), and the matrix-free
+    # stencil (zero stored data).  Headline = the fastest of the three on
+    # the current worker (selection logic below); all reported.
     #
     # maxiter values are aligned to run_chunked's warmup ladder
     # (8+16+32+64+128 = 248 warmup steps, then 256-step chunks) so the
@@ -100,16 +106,20 @@ def main():
     t_long_dia = timed_solve(A, 504)
     t_short_dia = timed_solve(A, 248)
     dt_dia = max(t_long_dia - t_short_dia, 1e-9)
-    # Headline = the faster of the two operator paths for the same matrix.
-    # Which one wins is environment-dependent on this shared/remote part:
-    # the Pallas stencil kernel won by 20% before the 2026-08-18 tunnel
-    # outage and lost by 38% after the worker restart, with byte-identical
-    # code (A/B verified against a pinned old commit — BENCH_NOTES round 2).
-    # Both paths are always reported in detail.
-    if dt_st <= dt_dia:
-        dt, t_long, winner = dt_st, t_long_st, "stencil_pallas"
-    else:
-        dt, t_long, winner = dt_dia, t_long_dia, "stored_dia_xla"
+    t_long_dia16 = timed_solve(Ac, 504)
+    t_short_dia16 = timed_solve(Ac, 248)
+    dt_dia16 = max(t_long_dia16 - t_short_dia16, 1e-9)
+    # Headline = the fastest operator path for the same matrix.  Which
+    # stored/matrix-free path wins is environment-dependent on this
+    # shared/remote part: the Pallas stencil kernel won by 20% before the
+    # 2026-08-18 tunnel outage and lost by 38% after the worker restart,
+    # with byte-identical code (A/B verified against a pinned old commit —
+    # BENCH_NOTES round 2).  All paths are always reported in detail.
+    dt, t_long, winner = min(
+        (dt_st, t_long_st, "stencil_pallas"),
+        (dt_dia, t_long_dia, "stored_dia_xla"),
+        (dt_dia16, t_long_dia16, "stored_dia_bf16_xla"),
+    )
 
     # Informational: empirical streaming bandwidth (differential triad,
     # min-of-reps).  The roofline denominator stays the DATASHEET number so
@@ -171,12 +181,16 @@ def main():
             "operator_path": winner,
             "us_per_iter_stencil": round(dt_st / iters * 1e6, 1),
             "us_per_iter_dia": round(dt_dia / iters * 1e6, 1),
+            "us_per_iter_dia_bf16": round(dt_dia16 / iters * 1e6, 1),
             "sec_504_iter_solve": round(t_long, 4),
             "frac_hbm_roofline": round(frac_roofline, 4),
             "triad_differential_gbs": round(measured_bw / 1e9, 1),
             "device": str(jax.devices()[0].device_kind),
-            "note": "roofline denominator is the 819 GB/s datasheet; "
-                    "profiled device-time bandwidth evidence in BENCH_NOTES.md",
+            "note": "roofline denominator is the 819 GB/s datasheet and the "
+                    "byte model charges f32 diag streams; the bf16-DIA path "
+                    "(exact value compression, compress_values) may "
+                    "legitimately exceed that roofline. profiled device-time "
+                    "bandwidth evidence in BENCH_NOTES.md",
         },
     }), flush=True)
 
@@ -215,14 +229,16 @@ def main():
     # decided on the true f32 residual each restart).  The explicit
     # f32-panel path is reported as detail.
     iters_g = 500 - 240
-    # same two-operator-paths policy as the CG headline: matrix-free
-    # stencil vs stored DIA for the same matrix, faster path wins
+    # same operator-paths policy as the CG headline: matrix-free stencil vs
+    # stored DIA (f32 and exact-bf16 value streams), fastest path wins
     dt_g_st = max(timed_gmres(500) - timed_gmres(240), 1e-9)
     dt_g_dia = max(timed_gmres(500, op=A) - timed_gmres(240, op=A), 1e-9)
-    if dt_g_st <= dt_g_dia:
-        dt_g, g_op_winner = dt_g_st, "stencil_pallas"
-    else:
-        dt_g, g_op_winner = dt_g_dia, "stored_dia_xla"
+    dt_g_dia16 = max(timed_gmres(500, op=Ac) - timed_gmres(240, op=Ac), 1e-9)
+    dt_g, g_op_winner = min(
+        (dt_g_st, "stencil_pallas"),
+        (dt_g_dia, "stored_dia_xla"),
+        (dt_g_dia16, "stored_dia_bf16_xla"),
+    )
     g_iter_time = dt_g / iters_g
     g_nnz_per_s = nnz * iters_g / dt_g
     # full-precision panel variant: same iteration count by construction
@@ -281,6 +297,7 @@ def main():
             "operator_path": g_op_winner,
             "us_per_iter_stencil": round(dt_g_st / iters_g * 1e6, 1),
             "us_per_iter_dia": round(dt_g_dia / iters_g * 1e6, 1),
+            "us_per_iter_dia_bf16": round(dt_g_dia16 / iters_g * 1e6, 1),
             "panel_dtype_headline": "bfloat16 (library default at this size)",
             "us_per_iter_f32_panel_stencil": round(g32_iter_time * 1e6, 1),
             "us_per_spmv": round(t_mv * 1e6, 1),

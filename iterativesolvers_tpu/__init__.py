@@ -35,8 +35,10 @@ from .operators.sparse import (
     DIAMatrix,
     ELLMatrix,
     HYBMatrix,
+    compress_values,
     csr_from_dense,
     dia_from_dense,
+    values_representable,
 )
 from .solvers.bicgstabl import bicgstabl, bicgstabl_iterator
 from .solvers.cg import cg, cg_iterator

@@ -126,6 +126,14 @@ class CSRMatrix(LinearOperator):
     def nnz(self):
         return int(self.data.shape[0])
 
+    def astype(self, dtype) -> "CSRMatrix":
+        """Copy with the stored values in ``dtype`` (structure unchanged).
+        See :func:`compress_values` for the exactness-checked bf16 form."""
+        return CSRMatrix(
+            self._host("data").astype(dtype), self._host("indices"),
+            self._host("indptr"), self._shape, row_ids=self._host("row_ids"),
+        )
+
     def mv(self, x):
         # x: (m,) or (m, k)
         d = self.data if x.ndim == 1 else self.data[:, None]
@@ -448,6 +456,14 @@ class ELLMatrix(LinearOperator):
     def row_width(self):
         return int(self.data.shape[1])
 
+    def astype(self, dtype) -> "ELLMatrix":
+        """Copy with the stored values in ``dtype`` (structure unchanged)."""
+        adj = self.adj.astype(dtype) if self.adj is not None else None
+        return ELLMatrix(
+            self._host("data").astype(dtype), self._host("cols"), self._shape,
+            adj=adj, gather_chunk_rows=self._gather_chunk_rows,
+        )
+
     def mv(self, x):
         # x: (m,) or (m, k) — gathered rows broadcast against the (n, w) data
         ck = self._gather_chunk_rows
@@ -548,6 +564,15 @@ class HYBMatrix(LinearOperator):
     @property
     def tail_nnz(self):
         return int(self.tail_vals.shape[0])
+
+    def astype(self, dtype) -> "HYBMatrix":
+        """Copy with the stored values in ``dtype`` (structure unchanged)."""
+        adj = self.adj.astype(dtype) if self.adj is not None else None
+        return HYBMatrix(
+            self.ell.astype(dtype), self._host("tail_rows"),
+            self._host("tail_cols"), self._host("tail_vals").astype(dtype),
+            self._shape, adj=adj,
+        )
 
     def mv(self, x):
         y = self.ell.mv(x)
@@ -661,6 +686,18 @@ class DIAMatrix(LinearOperator):
     @property
     def dtype(self):
         return self.diags[0].dtype
+
+    def astype(self, dtype) -> "DIAMatrix":
+        """Copy with the diagonals stored in ``dtype``.  The SpMV promotes
+        each product to ``result_type(dtype, x.dtype)``, so a bf16-valued
+        matrix applied to an f32 vector still accumulates in f32 — only the
+        HBM value stream narrows (the point: the diagonals are the dominant
+        stream of the DIA SpMV)."""
+        return DIAMatrix(
+            tuple(self._host_diag(k).astype(dtype)
+                  for k in range(len(self.diags))),
+            self.offsets, self._shape,
+        )
 
     def mv(self, x):
         # x: (m,) or (m, k) — shifted multiply-adds along axis 0
@@ -802,6 +839,13 @@ class BSRMatrix(LinearOperator):
     def nnz(self):
         return int(np.prod(self.blocks.shape))
 
+    def astype(self, dtype) -> "BSRMatrix":
+        """Copy with the stored blocks in ``dtype`` (structure unchanged)."""
+        return BSRMatrix(
+            np.asarray(self.blocks).astype(dtype), self.block_cols,
+            self.block_row_ids, self._shape,
+        )
+
     def mv(self, x):
         bs = self.block_size
         nb_rows = self._shape[0] // bs
@@ -855,3 +899,51 @@ def csr_from_dense(mat, tol: float = 0.0) -> CSRMatrix:
 
 def dia_from_dense(mat) -> DIAMatrix:
     return csr_from_dense(mat).to_dia()
+
+
+def _host_value_arrays(A):
+    """The stored value arrays of a sparse-format operator, as host arrays."""
+    if isinstance(A, DIAMatrix):
+        return [A._host_diag(k) for k in range(len(A.diags))]
+    if isinstance(A, HYBMatrix):
+        return [A.ell._host("data"), A._host("tail_vals")]
+    if isinstance(A, ELLMatrix):
+        return [A._host("data")]
+    if isinstance(A, CSRMatrix):
+        return [A._host("data")]
+    if isinstance(A, BSRMatrix):
+        return [np.asarray(A.blocks)]
+    raise TypeError(f"not a stored sparse format: {type(A).__name__}")
+
+
+def values_representable(A, dtype) -> bool:
+    """True iff every stored value of ``A`` round-trips
+    ``A.dtype -> dtype -> A.dtype`` bit-exactly.
+
+    Constant-coefficient discretizations (Laplacians, advection stencils,
+    graph Laplacians with small-integer weights) typically store values that
+    are exact in bfloat16 — for those matrices :func:`compress_values` is a
+    pure bandwidth optimization with zero numerical effect, since every
+    SpMV product promotes back to the vector dtype before accumulating."""
+    dt = np.dtype(dtype)
+    for v in _host_value_arrays(A):
+        w = np.asarray(v)
+        if not np.array_equal(w.astype(dt).astype(w.dtype), w):
+            return False
+    return True
+
+
+def compress_values(A, dtype=jnp.bfloat16, require_exact: bool = True):
+    """Narrow the stored-value stream of a sparse-format operator.
+
+    Returns ``A.astype(dtype)`` when the values are exactly representable in
+    ``dtype`` (or when ``require_exact=False`` — an explicit opt-in to a
+    perturbed matrix), otherwise returns ``A`` unchanged.  The matvec output
+    dtype is unaffected: products promote to ``result_type(dtype, x.dtype)``,
+    so f32 solves stay f32 end to end while the dominant HBM stream (the
+    matrix values) halves.  No reference analogue — this exploits the TPU's
+    native bf16 datapath; the reference's CSC kernels are eltype-generic but
+    never mix value/vector precision (src/stationary_sparse.jl)."""
+    if require_exact and not values_representable(A, dtype):
+        return A
+    return A.astype(dtype)

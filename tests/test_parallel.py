@@ -301,3 +301,25 @@ def test_halo_mv_rows_matches_dense(mesh):
     got = np.asarray(op.mv_rows(Xr))
     want = (np.asarray(A.to_dense()) @ np.asarray(Xr).T).T
     np.testing.assert_allclose(got, want, rtol=1e-10)
+
+
+def test_halo_spmv_bf16_values_exact(mesh):
+    """compress_values composes with the distributed halo operator: bf16
+    diagonal streams, f32 vectors, bit-identical results for the (bf16-exact)
+    Laplacian — the multi-chip counterpart of the single-chip bandwidth
+    optimization (tests/test_sparse.py::test_compress_values_exact_formats)."""
+    A = laplace_dia(16, 2, dtype=np.float32)  # n = 256 = 8 * 32
+    Ac = its.compress_values(A)
+    assert Ac.dtype == jnp.bfloat16
+    op = HaloDIAOperator(A, mesh)
+    opc = HaloDIAOperator(Ac, mesh)
+    assert opc.dtype == jnp.bfloat16
+    rng = np.random.default_rng(7)
+    x = shard_vector(jnp.asarray(rng.random(A.shape[0], dtype=np.float32)),
+                     mesh)
+    y32 = np.asarray(op.mv(x))
+    yc = np.asarray(opc.mv(x))
+    assert yc.dtype == np.float32
+    np.testing.assert_array_equal(yc, y32)
+    np.testing.assert_array_equal(np.asarray(opc.rmv(x)),
+                                  np.asarray(op.rmv(x)))

@@ -421,3 +421,51 @@ def test_ell_chunked_gather_matches_monolithic(rng):
     # chunk >= n degenerates to the monolithic gather
     assert np.array_equal(np.asarray(ell.with_chunked_gather(4096).mv(x)),
                           np.asarray(ell.mv(x)))
+
+
+def test_compress_values_exact_formats(rng):
+    """compress_values narrows the stored-value stream to bf16 when (and only
+    when) every value round-trips exactly; matvec results are bit-identical
+    for exactly-representable matrices because each product promotes to the
+    vector dtype before accumulating (TPU bandwidth optimization — no
+    reference analogue)."""
+    A = laplace_dia(6, 3, dtype=np.float32)  # values in {6, -1, 0}: bf16-exact
+    x = rng.standard_normal(A.shape[1]).astype(np.float32)
+    for op in [A, A.to_csr(), A.to_csr().to_ell().with_adjoint(),
+               A.to_csr().to_hyb(), its.BSRMatrix.from_csr(A.to_csr(), 2)]:
+        assert its.values_representable(op, jnp.bfloat16)
+        opc = its.compress_values(op)
+        assert opc.dtype == jnp.bfloat16
+        y32 = np.asarray(op.mv(x))
+        yc = np.asarray(opc.mv(x))
+        assert yc.dtype == np.float32  # promotes, never degrades the solve
+        np.testing.assert_array_equal(yc, y32)
+        np.testing.assert_array_equal(np.asarray(opc.rmv(x)),
+                                      np.asarray(op.rmv(x)))
+
+
+def test_compress_values_refuses_inexact(rng):
+    """Random values don't round-trip bf16; compress_values returns the
+    operator unchanged unless the caller opts into the perturbation."""
+    A = random_sparse(60, 60, 0.1, seed=3, dtype=np.float32)
+    assert not its.values_representable(A, jnp.bfloat16)
+    assert its.compress_values(A) is A
+    forced = its.compress_values(A, require_exact=False)
+    assert forced.dtype == jnp.bfloat16
+    x = rng.standard_normal(60).astype(np.float32)
+    # perturbed matrix: close but not equal
+    np.testing.assert_allclose(np.asarray(forced.mv(x)), np.asarray(A.mv(x)),
+                               rtol=2e-2, atol=1e-2)
+
+
+def test_compress_values_cg_identical_iterates():
+    """CG on the bf16-compressed Laplacian must behave identically to f32
+    storage (same history, same solution) — the compression is exact for this
+    matrix family, so the solver sees the same operator."""
+    A = laplace_dia(8, 2, dtype=np.float32)
+    Ac = its.compress_values(A)
+    b = np.ones(A.shape[0], dtype=np.float32)
+    x1, h1 = its.cg(A, b, reltol=1e-6, maxiter=200, log=True)
+    x2, h2 = its.cg(Ac, b, reltol=1e-6, maxiter=200, log=True)
+    assert h1.niters() == h2.niters()
+    np.testing.assert_array_equal(np.asarray(x1), np.asarray(x2))

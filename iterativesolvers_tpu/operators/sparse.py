@@ -928,6 +928,11 @@ def values_representable(A, dtype) -> bool:
     dt = np.dtype(dtype)
     for v in _host_value_arrays(A):
         w = np.asarray(v)
+        if np.issubdtype(w.dtype, np.complexfloating) and not np.issubdtype(
+                dt, np.complexfloating):
+            # complex -> real narrowing silently drops imaginary parts in
+            # numpy casts; never treat it as representable
+            return False
         if not np.array_equal(w.astype(dt).astype(w.dtype), w):
             return False
     return True

@@ -469,3 +469,13 @@ def test_compress_values_cg_identical_iterates():
     x2, h2 = its.cg(Ac, b, reltol=1e-6, maxiter=200, log=True)
     assert h1.niters() == h2.niters()
     np.testing.assert_array_equal(np.asarray(x1), np.asarray(x2))
+
+
+def test_compress_values_complex_never_exact(rng):
+    """Complex-to-real narrowing drops imaginary parts in numpy casts —
+    values_representable must refuse it even when every imag part is 0."""
+    dense = np.zeros((8, 8), dtype=np.complex64)
+    dense[np.diag_indices(8)] = 2.0 + 0.0j  # real parts bf16-exact, imag 0
+    A = csr_from_dense(dense)
+    assert not its.values_representable(A, jnp.bfloat16)
+    assert its.compress_values(A) is A

@@ -52,12 +52,15 @@ def main():
     # Laplacian" north-star workload), 7 diagonals -> ~70M nnz
     A = laplace_dia(side, 3, dtype=np.float32)
     St = its.laplacian(side, 3, dtype=np.float32)  # same matrix, matrix-free
-    # third path: bf16 value stream.  The Laplacian's values {6,-1,0} are
-    # bf16-exact, so compress_values halves the dominant diag stream with
-    # zero numerical effect (products promote to f32 before accumulating;
-    # measured 1.35x CG per-iter, benchmarks/tpu_bf16dia_ab.py).
+    # compressed value streams: the Laplacian's values {6,-1,0} are exact in
+    # bf16 AND int8, so compress_values narrows the dominant diag stream
+    # (280 -> 140 -> 70 MB/iter) with zero numerical effect (products promote
+    # to f32 before accumulating; measured 1.35x / 1.53x CG per-iter,
+    # benchmarks/tpu_bf16dia_ab.py, tpu_int8dia_ab.py).
     Ac = its.compress_values(A)
     assert Ac.dtype == jnp.bfloat16  # exactness-checked compression applied
+    Ai = its.compress_values(A, dtype=jnp.int8)
+    assert Ai.dtype == jnp.int8
     n = A.shape[0]
     nnz = int(sum(int(np.count_nonzero(d)) for d in A._h_diags))
     b = jnp.ones((n,), jnp.float32)
@@ -90,9 +93,9 @@ def main():
             best = min(best, time.perf_counter() - t0)
         return best
 
-    # three operator paths for the same matrix: stored-DIA f32 streams, the
-    # bf16-compressed DIA (exact for this matrix), and the matrix-free
-    # stencil (zero stored data).  Headline = the fastest of the three on
+    # four operator paths for the same matrix: stored-DIA f32 streams, the
+    # bf16- and int8-compressed DIA (both exact for this matrix), and the
+    # matrix-free stencil (zero stored data).  Headline = the fastest on
     # the current worker (selection logic below); all reported.
     #
     # maxiter values are aligned to run_chunked's warmup ladder
@@ -109,6 +112,9 @@ def main():
     t_long_dia16 = timed_solve(Ac, 504)
     t_short_dia16 = timed_solve(Ac, 248)
     dt_dia16 = max(t_long_dia16 - t_short_dia16, 1e-9)
+    t_long_dia8 = timed_solve(Ai, 504)
+    t_short_dia8 = timed_solve(Ai, 248)
+    dt_dia8 = max(t_long_dia8 - t_short_dia8, 1e-9)
     # Headline = the fastest operator path for the same matrix.  Which
     # stored/matrix-free path wins is environment-dependent on this
     # shared/remote part: the Pallas stencil kernel won by 20% before the
@@ -119,6 +125,7 @@ def main():
         (dt_st, t_long_st, "stencil_pallas"),
         (dt_dia, t_long_dia, "stored_dia_xla"),
         (dt_dia16, t_long_dia16, "stored_dia_bf16_xla"),
+        (dt_dia8, t_long_dia8, "stored_dia_int8_xla"),
     )
 
     # Informational: empirical streaming bandwidth (differential triad,
@@ -182,6 +189,7 @@ def main():
             "us_per_iter_stencil": round(dt_st / iters * 1e6, 1),
             "us_per_iter_dia": round(dt_dia / iters * 1e6, 1),
             "us_per_iter_dia_bf16": round(dt_dia16 / iters * 1e6, 1),
+            "us_per_iter_dia_int8": round(dt_dia8 / iters * 1e6, 1),
             "sec_504_iter_solve": round(t_long, 4),
             "frac_hbm_roofline": round(frac_roofline, 4),
             "triad_differential_gbs": round(measured_bw / 1e9, 1),
@@ -234,10 +242,12 @@ def main():
     dt_g_st = max(timed_gmres(500) - timed_gmres(240), 1e-9)
     dt_g_dia = max(timed_gmres(500, op=A) - timed_gmres(240, op=A), 1e-9)
     dt_g_dia16 = max(timed_gmres(500, op=Ac) - timed_gmres(240, op=Ac), 1e-9)
+    dt_g_dia8 = max(timed_gmres(500, op=Ai) - timed_gmres(240, op=Ai), 1e-9)
     dt_g, g_op_winner = min(
         (dt_g_st, "stencil_pallas"),
         (dt_g_dia, "stored_dia_xla"),
         (dt_g_dia16, "stored_dia_bf16_xla"),
+        (dt_g_dia8, "stored_dia_int8_xla"),
     )
     g_iter_time = dt_g / iters_g
     g_nnz_per_s = nnz * iters_g / dt_g
@@ -298,6 +308,7 @@ def main():
             "us_per_iter_stencil": round(dt_g_st / iters_g * 1e6, 1),
             "us_per_iter_dia": round(dt_g_dia / iters_g * 1e6, 1),
             "us_per_iter_dia_bf16": round(dt_g_dia16 / iters_g * 1e6, 1),
+            "us_per_iter_dia_int8": round(dt_g_dia8 / iters_g * 1e6, 1),
             "panel_dtype_headline": "bfloat16 (library default at this size)",
             "us_per_iter_f32_panel_stencil": round(g32_iter_time * 1e6, 1),
             "us_per_spmv": round(t_mv * 1e6, 1),

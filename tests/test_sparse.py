@@ -479,3 +479,20 @@ def test_compress_values_complex_never_exact(rng):
     A = csr_from_dense(dense)
     assert not its.values_representable(A, jnp.bfloat16)
     assert its.compress_values(A) is A
+
+
+def test_compress_values_int8_exact(rng):
+    """Second compression rung: integer-valued matrices are exact in int8
+    (quarter the f32 value stream); products still promote to f32."""
+    A = laplace_dia(6, 3, dtype=np.float32)
+    assert its.values_representable(A, jnp.int8)
+    Ai = its.compress_values(A, dtype=jnp.int8)
+    assert Ai.dtype == jnp.int8
+    x = rng.standard_normal(A.shape[1]).astype(np.float32)
+    y = np.asarray(Ai.mv(x))
+    assert y.dtype == np.float32
+    np.testing.assert_array_equal(y, np.asarray(A.mv(x)))
+    # non-integer values are refused
+    B = sym_tridiagonal_dia(2.01, -1.0, 32)
+    assert not its.values_representable(B, jnp.int8)
+    assert its.compress_values(B, dtype=jnp.int8) is B

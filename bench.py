@@ -57,7 +57,7 @@ def main():
     # (280 -> 140 -> 70 MB/iter) with zero numerical effect (products promote
     # to f32 before accumulating; measured 1.35x / 1.53x CG per-iter,
     # benchmarks/tpu_bf16dia_ab.py, tpu_int8dia_ab.py).
-    Ac = its.compress_values(A)
+    Ac = its.compress_values(A, dtype=jnp.bfloat16)
     assert Ac.dtype == jnp.bfloat16  # exactness-checked compression applied
     Ai = its.compress_values(A, dtype=jnp.int8)
     assert Ai.dtype == jnp.int8

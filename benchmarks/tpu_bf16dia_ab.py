@@ -34,7 +34,7 @@ def main():
 
     side = 216
     A = laplace_dia(side, 3, dtype=np.float32)
-    Ac = its.compress_values(A)
+    Ac = its.compress_values(A, dtype=jnp.bfloat16)
     assert Ac.dtype == jnp.bfloat16
     n = A.shape[0]
     nnz = int(sum(int(np.count_nonzero(d)) for d in A._h_diags))

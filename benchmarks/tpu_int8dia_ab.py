@@ -29,7 +29,7 @@ def main():
 
     side = 216
     A = laplace_dia(side, 3, dtype=np.float32)
-    Ac = its.compress_values(A)                       # bf16
+    Ac = its.compress_values(A, dtype=jnp.bfloat16)
     Ai = its.compress_values(A, dtype=jnp.int8)       # int8
     assert Ai.dtype == jnp.int8
     n = A.shape[0]

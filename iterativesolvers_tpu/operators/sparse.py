@@ -938,17 +938,30 @@ def values_representable(A, dtype) -> bool:
     return True
 
 
-def compress_values(A, dtype=jnp.bfloat16, require_exact: bool = True):
+def compress_values(A, dtype=None, require_exact: bool = True):
     """Narrow the stored-value stream of a sparse-format operator.
 
-    Returns ``A.astype(dtype)`` when the values are exactly representable in
-    ``dtype`` (or when ``require_exact=False`` — an explicit opt-in to a
-    perturbed matrix), otherwise returns ``A`` unchanged.  The matvec output
-    dtype is unaffected: products promote to ``result_type(dtype, x.dtype)``,
-    so f32 solves stay f32 end to end while the dominant HBM stream (the
-    matrix values) halves.  No reference analogue — this exploits the TPU's
-    native bf16 datapath; the reference's CSC kernels are eltype-generic but
-    never mix value/vector precision (src/stationary_sparse.jl)."""
+    With ``dtype=None`` (default) picks the NARROWEST exact dtype from the
+    ladder int8 -> bfloat16 (integer-valued matrices quarter the stream,
+    bf16-representable ones halve it) and returns ``A`` unchanged when
+    neither is exact.  With an explicit ``dtype``, returns ``A.astype(dtype)``
+    when the values are exactly representable in it (or when
+    ``require_exact=False`` — an explicit opt-in to a perturbed matrix),
+    otherwise ``A`` unchanged.
+
+    The matvec output dtype is unaffected: products promote to
+    ``result_type(value_dtype, x.dtype)``, so f32 solves stay f32 end to end
+    while the dominant HBM stream (the matrix values) narrows.  Measured on
+    the 10M-row 3-D Laplacian: CG 746 (f32) -> 582 (bf16) -> 486 us/iter
+    (int8), identical solutions (BENCH_NOTES round 3).  No reference
+    analogue — this exploits the TPU's native low-precision datapaths; the
+    reference's CSC kernels are eltype-generic but never mix value/vector
+    precision (src/stationary_sparse.jl)."""
+    if dtype is None:
+        for cand in (jnp.int8, jnp.bfloat16):
+            if values_representable(A, cand):
+                return A.astype(cand)
+        return A
     if require_exact and not values_representable(A, dtype):
         return A
     return A.astype(dtype)

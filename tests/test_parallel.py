@@ -309,7 +309,7 @@ def test_halo_spmv_bf16_values_exact(mesh):
     Laplacian — the multi-chip counterpart of the single-chip bandwidth
     optimization (tests/test_sparse.py::test_compress_values_exact_formats)."""
     A = laplace_dia(16, 2, dtype=np.float32)  # n = 256 = 8 * 32
-    Ac = its.compress_values(A)
+    Ac = its.compress_values(A, dtype=jnp.bfloat16)
     assert Ac.dtype == jnp.bfloat16
     op = HaloDIAOperator(A, mesh)
     opc = HaloDIAOperator(Ac, mesh)

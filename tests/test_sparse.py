@@ -434,8 +434,10 @@ def test_compress_values_exact_formats(rng):
     for op in [A, A.to_csr(), A.to_csr().to_ell().with_adjoint(),
                A.to_csr().to_hyb(), its.BSRMatrix.from_csr(A.to_csr(), 2)]:
         assert its.values_representable(op, jnp.bfloat16)
-        opc = its.compress_values(op)
+        opc = its.compress_values(op, dtype=jnp.bfloat16)
         assert opc.dtype == jnp.bfloat16
+        # default = auto ladder: this matrix is integer-valued -> int8
+        assert its.compress_values(op).dtype == jnp.int8
         y32 = np.asarray(op.mv(x))
         yc = np.asarray(opc.mv(x))
         assert yc.dtype == np.float32  # promotes, never degrades the solve
@@ -450,7 +452,7 @@ def test_compress_values_refuses_inexact(rng):
     A = random_sparse(60, 60, 0.1, seed=3, dtype=np.float32)
     assert not its.values_representable(A, jnp.bfloat16)
     assert its.compress_values(A) is A
-    forced = its.compress_values(A, require_exact=False)
+    forced = its.compress_values(A, dtype=jnp.bfloat16, require_exact=False)
     assert forced.dtype == jnp.bfloat16
     x = rng.standard_normal(60).astype(np.float32)
     # perturbed matrix: close but not equal

@@ -40,20 +40,24 @@ def main():
     n = A.shape[0]
     rng = np.random.default_rng(0)
     X0 = jnp.asarray(rng.standard_normal((n, 16)).astype(np.float32))
-    r = its.lobpcg(A, X0, largest=False, tol=1e-4, maxiter=150)
-    float(jnp.sum(r.lam))  # scalar readback: block_until_ready is dispatch-only here
-    lam0 = float(np.asarray(r.lam)[0])
-    t0 = time.perf_counter()
-    r = its.lobpcg(A, X0 + jnp.float32(1e-5), largest=False, tol=1e-4,
-                   maxiter=150)
-    lam_fence = float(jnp.sum(r.lam))
-    wall = time.perf_counter() - t0
-    # analytic smallest eigenvalue of the 3-D Dirichlet Laplacian stencil
+    # A/B: f32 diagonals vs the exact int8 value stream (compress_values;
+    # the Laplacian's {6,-1,0} is integer-valued) — the block SpMM streams
+    # the diagonals for every panel row, so compression multiplies.
     lam_true = 3 * 2 * (1 - np.cos(np.pi / (side + 1)))
-    print(f"LOBPCG n={n} nev=16: {wall:.2f} s, iters={r.iterations}, "
-          f"converged={r.converged}", flush=True)
-    print(f"  lam[0]={lam0:.6e} vs analytic {lam_true:.6e} "
-          f"(rel {abs(lam0-lam_true)/lam_true:.2e})", flush=True)
+    for tag, op in (("f32", A), ("int8", its.compress_values(A))):
+        r = its.lobpcg(op, X0, largest=False, tol=1e-4, maxiter=150)
+        float(jnp.sum(r.lam))  # scalar readback: block_until_ready is dispatch-only
+        lam0 = float(np.asarray(r.lam)[0])
+        t0 = time.perf_counter()
+        r = its.lobpcg(op, X0 + jnp.float32(1e-5), largest=False, tol=1e-4,
+                       maxiter=150)
+        lam_fence = float(jnp.sum(r.lam))
+        wall = time.perf_counter() - t0
+        # analytic smallest eigenvalue of the 3-D Dirichlet Laplacian stencil
+        print(f"LOBPCG[{tag}] n={n} nev=16: {wall:.2f} s, "
+              f"iters={r.iterations}, converged={r.converged}", flush=True)
+        print(f"  lam[0]={lam0:.6e} vs analytic {lam_true:.6e} "
+              f"(rel {abs(lam0-lam_true)/lam_true:.2e})", flush=True)
 
     # ---------------- svdl, large sparse, nsv=10 ---------------------------
     # NOTE: 1,048,576 x 262,144 reproducibly faults the axon TPU worker

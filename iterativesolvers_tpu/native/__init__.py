@@ -316,15 +316,19 @@ def ilu0(indptr, indices, data, n: int):
     numpy fallback (also used for complex)."""
     indptr = np.ascontiguousarray(indptr, np.int64)
     indices = np.ascontiguousarray(indices, np.int32)
+    data = np.asarray(data)
+    # factors are NOT representable in narrowed value dtypes (int8/bf16 from
+    # compress_values): factor at f64 and return at float precision
+    fdtype = np.result_type(data.dtype, np.float32)
     lib = get_lib()
     if lib is None or np.iscomplexobj(data):
-        return _ilu0_numpy(indptr, indices, np.array(data), n)
+        return _ilu0_numpy(indptr, indices, data.astype(fdtype), n)
     out = np.ascontiguousarray(data, np.float64).copy()
     bad = lib.ilu0(_ptr(indptr, _i64p), _ptr(indices, _i32p),
                    _ptr(out, _f64p), ctypes.c_int64(n))
     if bad >= 0:
         raise ZeroDivisionError(f"ILU(0) zero/missing pivot at row {bad}")
-    return out.astype(np.asarray(data).dtype)
+    return out.astype(fdtype)
 
 
 def _ilu0_numpy(indptr, indices, data, n):
@@ -362,15 +366,18 @@ def ic0(indptr, indices, data, n: int):
     breakdown (non-positive pivot)."""
     indptr = np.ascontiguousarray(indptr, np.int64)
     indices = np.ascontiguousarray(indices, np.int32)
+    data = np.asarray(data)
+    # see ilu0: never return factors in a narrowed value dtype
+    fdtype = np.result_type(data.dtype, np.float32)
     lib = get_lib()
     if lib is None or np.iscomplexobj(data):
-        return _ic0_numpy(indptr, indices, np.array(data), n)
+        return _ic0_numpy(indptr, indices, data.astype(fdtype), n)
     out = np.ascontiguousarray(data, np.float64).copy()
     bad = lib.ic0(_ptr(indptr, _i64p), _ptr(indices, _i32p),
                   _ptr(out, _f64p), ctypes.c_int64(n))
     if bad >= 0:
         raise ZeroDivisionError(f"IC(0) breakdown at row {bad}")
-    return out.astype(np.asarray(data).dtype)
+    return out.astype(fdtype)
 
 
 def _ic0_numpy(indptr, indices, data, n):

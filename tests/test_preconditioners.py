@@ -119,3 +119,33 @@ def test_block_jacobi_ilu():
     assert h.iters < max(h0.iters, 100)
     r = np.asarray(csr.mv(x)) - np.asarray(b)
     assert np.linalg.norm(r) / np.linalg.norm(b) < 1e-6
+
+
+def test_incomplete_factorizations_on_compressed_operators():
+    """ILU(0)/IC(0) factors are NOT representable in narrowed value dtypes:
+    ilu0/ic0 must promote int8/bf16 (compress_values) input to float factors
+    instead of truncating back to the input dtype (regression: factors were
+    cast to the data dtype, silently corrupting the preconditioner)."""
+    import jax.numpy as jnp
+
+    import iterativesolvers_tpu as its
+    from iterativesolvers_tpu.operators.preconditioners import (
+        ICPreconditioner, ILUPreconditioner,
+    )
+    from iterativesolvers_tpu.utils.fixtures import laplace_dia
+
+    A = laplace_dia(8, 2, dtype=np.float32)
+    b = np.ones(A.shape[0], np.float32)
+    x_ref, h_ref = its.cg(A, b, Pl=ICPreconditioner.from_operator(A.to_csr()),
+                          reltol=1e-8, log=True, maxiter=100)
+    for op in (its.compress_values(A),                       # int8
+               its.compress_values(A, dtype=jnp.bfloat16)):  # bf16
+        P = ICPreconditioner.from_operator(op.to_csr())
+        assert P.lower_solve.vals.dtype == jnp.float32
+        x, h = its.cg(op, b, Pl=P, reltol=1e-8, log=True, maxiter=100)
+        assert h.niters() == h_ref.niters()
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(x_ref))
+        Pi = ILUPreconditioner.from_operator(op.to_csr())
+        x2 = its.gmres(op, b, Pl=Pi, reltol=1e-8, restart=20)
+        r2 = np.linalg.norm(np.asarray(A.mv(x2)) - b) / np.linalg.norm(b)
+        assert r2 < 1e-6

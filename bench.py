@@ -103,30 +103,24 @@ def main():
     # EXECUTED step counts are exact: 248 -> 248 steps, 504 -> 504 steps.
     # A masked-step mismatch here silently skews the differential.
     iters = 504 - 248
-    t_long_st = timed_solve(St, 504)
-    t_short_st = timed_solve(St, 248)
-    dt_st = max(t_long_st - t_short_st, 1e-9)
-    t_long_dia = timed_solve(A, 504)
-    t_short_dia = timed_solve(A, 248)
-    dt_dia = max(t_long_dia - t_short_dia, 1e-9)
-    t_long_dia16 = timed_solve(Ac, 504)
-    t_short_dia16 = timed_solve(Ac, 248)
-    dt_dia16 = max(t_long_dia16 - t_short_dia16, 1e-9)
-    t_long_dia8 = timed_solve(Ai, 504)
-    t_short_dia8 = timed_solve(Ai, 248)
-    dt_dia8 = max(t_long_dia8 - t_short_dia8, 1e-9)
+    cg_paths = (("stencil_pallas", St), ("stored_dia_xla", A),
+                ("stored_dia_bf16_xla", Ac), ("stored_dia_int8_xla", Ai))
+    cg_times = {}
+    for name, op in cg_paths:
+        t_long_p = timed_solve(op, 504)
+        cg_times[name] = (max(t_long_p - timed_solve(op, 248), 1e-9), t_long_p)
+    dt_st = cg_times["stencil_pallas"][0]
+    dt_dia = cg_times["stored_dia_xla"][0]
+    dt_dia16 = cg_times["stored_dia_bf16_xla"][0]
+    dt_dia8 = cg_times["stored_dia_int8_xla"][0]
     # Headline = the fastest operator path for the same matrix.  Which
     # stored/matrix-free path wins is environment-dependent on this
     # shared/remote part: the Pallas stencil kernel won by 20% before the
     # 2026-08-18 tunnel outage and lost by 38% after the worker restart,
     # with byte-identical code (A/B verified against a pinned old commit —
     # BENCH_NOTES round 2).  All paths are always reported in detail.
-    dt, t_long, winner = min(
-        (dt_st, t_long_st, "stencil_pallas"),
-        (dt_dia, t_long_dia, "stored_dia_xla"),
-        (dt_dia16, t_long_dia16, "stored_dia_bf16_xla"),
-        (dt_dia8, t_long_dia8, "stored_dia_int8_xla"),
-    )
+    winner = min(cg_times, key=lambda k: cg_times[k][0])
+    dt, t_long = cg_times[winner]
 
     # Informational: empirical streaming bandwidth (differential triad,
     # min-of-reps).  The roofline denominator stays the DATASHEET number so
@@ -238,7 +232,7 @@ def main():
     # f32-panel path is reported as detail.
     iters_g = 500 - 240
     # same operator-paths policy as the CG headline: matrix-free stencil vs
-    # stored DIA (f32 and exact-bf16 value streams), fastest path wins
+    # stored DIA (f32 / exact-bf16 / exact-int8 value streams), fastest wins
     dt_g_st = max(timed_gmres(500) - timed_gmres(240), 1e-9)
     dt_g_dia = max(timed_gmres(500, op=A) - timed_gmres(240, op=A), 1e-9)
     dt_g_dia16 = max(timed_gmres(500, op=Ac) - timed_gmres(240, op=Ac), 1e-9)

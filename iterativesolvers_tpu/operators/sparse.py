@@ -128,7 +128,7 @@ class CSRMatrix(LinearOperator):
 
     def astype(self, dtype) -> "CSRMatrix":
         """Copy with the stored values in ``dtype`` (structure unchanged).
-        See :func:`compress_values` for the exactness-checked bf16 form."""
+        See :func:`compress_values` for the exactness-checked form."""
         return CSRMatrix(
             self._host("data").astype(dtype), self._host("indices"),
             self._host("indptr"), self._shape, row_ids=self._host("row_ids"),

@@ -424,7 +424,7 @@ def test_ell_chunked_gather_matches_monolithic(rng):
 
 
 def test_compress_values_exact_formats(rng):
-    """compress_values narrows the stored-value stream to bf16 when (and only
+    """compress_values narrows the stored-value stream when (and only
     when) every value round-trips exactly; matvec results are bit-identical
     for exactly-representable matrices because each product promotes to the
     vector dtype before accumulating (TPU bandwidth optimization — no

@@ -53,13 +53,17 @@ def _round_up(x, m):
 
 
 def pallas_is_available() -> bool:
-    """Compiled-path availability: a real TPU backend AND a single-device
-    world.  The Pallas kernels here and in pallas_mgs carry no GSPMD
-    partitioning rule, so on a multi-chip mesh a ``pallas_call`` on sharded
-    operands would force XLA to replicate/gather them (O(n) per call) or
-    fail to partition; every caller falls back to the XLA lowering, which
-    GSPMD partitions correctly.  (Per-shard Pallas inside ``shard_map`` would
-    be sound, but no distributed operator routes through these today.)"""
+    """Compiled-path availability for GLOBAL-array callers: a real TPU
+    backend AND a single-device world.  The Pallas kernels here and in
+    pallas_mgs carry no GSPMD partitioning rule, so on a multi-chip mesh a
+    ``pallas_call`` on sharded global operands would force XLA to
+    replicate/gather them (O(n) per call) or fail to partition; callers
+    operating on global arrays fall back to the XLA lowering, which GSPMD
+    partitions correctly.  Distributed hot paths instead invoke the kernels
+    PER SHARD inside ``shard_map``, where every operand is device-local and
+    this gate does not apply: ``HaloStencilOperator._local_interior`` (the
+    windowed stencil SpMV) and ``parallel/panel_ortho.py`` (the Krylov panel
+    orthogonalization sweep)."""
     try:
         return jax.default_backend() == "tpu" and jax.device_count() == 1
     except Exception:  # pragma: no cover - no backend at all

@@ -16,6 +16,11 @@ dynamic shapes.  Methods:
     ``nrm < eta * norm(latest correction)`` with eta = 1/sqrt(2), the ARPACK
     constant (src/orthogonalize.jl:15-39); masked fixed-trip loop (capped
     repeats, no data-dependent while cond).
+  * ``"cgs2"`` — CGS with one UNCONDITIONAL re-orthogonalization pass
+    ("twice is enough"; DGKS stability class without the data-dependent
+    gate).  The distributed sharded-panel GMRES path uses this form: two
+    (m+1,)-vector allreduces per Arnoldi step, independent of m
+    (parallel/panel_ortho.py).
 """
 
 from __future__ import annotations
@@ -27,7 +32,7 @@ from ..solvers.common import norm
 
 __all__ = ["orthogonalize_and_normalize", "orthogonalize_and_normalize_rows", "ORTH_METHODS"]
 
-ORTH_METHODS = ("mgs", "cgs", "dgks")
+ORTH_METHODS = ("mgs", "cgs", "cgs2", "dgks")
 _DGKS_ETA = 1.0 / jnp.sqrt(2.0)  # src/orthogonalize.jl:19 ("used by ARPACK")
 # "twice is enough": the reference notes the DGKS condition "is true only
 # once" typically (src/orthogonalize.jl:24-25); two capped repeats cover it
@@ -112,6 +117,10 @@ def orthogonalize_and_normalize_rows(Vt, w, method: str = "mgs"):
         h = jnp.stack(h_parts)
     elif method == "cgs":
         h, w = _project_cgs_rows(Vt, w)
+    elif method == "cgs2":
+        h, w = _project_cgs_rows(Vt, w)
+        h2, w = _project_cgs_rows(Vt, w)
+        h = h + h2
     elif method == "dgks":
         h, w = _project_cgs_rows(Vt, w)
         w, h = _dgks_loop(lambda v: _project_cgs_rows(Vt, v), w, h)
@@ -134,6 +143,10 @@ def orthogonalize_and_normalize(V, w, method: str = "mgs"):
         h, w = _mgs(V, w)
     elif method == "cgs":
         h, w = _project_cgs(V, w)
+    elif method == "cgs2":
+        h, w = _project_cgs(V, w)
+        h2, w = _project_cgs(V, w)
+        h = h + h2
     elif method == "dgks":
         h, w = _project_cgs(V, w)
         w, h = _dgks_loop(lambda v: _project_cgs(V, v), w, h)

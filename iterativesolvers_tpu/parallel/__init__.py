@@ -1,3 +1,9 @@
+from .panel_ortho import (
+    dist_panel_ortho,
+    panel_layout,
+    panel_row_to_vec,
+    vec_to_panel_row,
+)
 from .sharded import (
     HaloDIAOperator,
     HaloStencilOperator,
@@ -14,10 +20,14 @@ __all__ = [
     "HaloDIAOperator",
     "HaloStencilOperator",
     "RowShardedELLOperator",
+    "dist_panel_ortho",
+    "panel_layout",
+    "panel_row_to_vec",
     "replicate",
     "row_mesh",
     "shard_dia",
     "shard_ell",
     "shard_vector",
     "slice_mesh",
+    "vec_to_panel_row",
 ]

@@ -1,0 +1,379 @@
+"""Distributed Krylov-panel orthogonalization: per-shard kernels + psum.
+
+This is the multi-chip form of the GMRES/Arnoldi orthogonalization hot loop
+(reference: src/gmres.jl:57-106 expand!+orthogonalize; src/orthogonalize.jl).
+The single-device fast path (``ops/pallas_mgs.panel_mgs``) keeps the working
+vector VMEM-resident through a *modified* Gram-Schmidt sweep — but MGS needs
+one GLOBAL dot per panel row, i.e. one allreduce per row, which on a mesh
+serializes m latency-bound psums per Arnoldi step.  The communication-optimal
+distributed orthogonalization is **classical Gram-Schmidt with
+re-orthogonalization (CGS2)**: each pass is
+
+    partial[j] = <V_loc[j], w_loc>      (one streaming sweep over the panel)
+    h          = psum(partial)          (ONE allreduce of an (m+1,) vector)
+    w_loc     -= sum_j h[j] V_loc[j]    (second streaming sweep)
+
+and two passes give MGS-grade orthogonality ("twice is enough", the same
+stability class as the reference's DGKS option, src/orthogonalize.jl:19-33).
+Per Arnoldi step: 2 psums/pass + 1 scalar psum for the norm — independent of
+m — versus m+1 psums for distributed MGS.
+
+Both per-shard sweep implementations are provided and dispatched by
+measurement (the repo's standard policy, see BENCH_NOTES):
+
+* **Pallas kernels** (`_dots_kernel` / `_update_kernel`): the local w stays
+  VMEM-resident across the whole sweep; panel rows stream through a
+  double-buffered chunk pipeline; rows beyond the active count k are skipped
+  (DMA included).  Runs inside ``shard_map`` where every operand is
+  device-local (``pallas_call`` has no GSPMD rule — same rationale as the
+  per-shard stencil interior, ops/pallas_stencil.pallas_is_available).
+* **XLA gemv** (`_xla_dots` / `_xla_update`): the two sweeps ARE tall-skinny
+  gemvs (the reference's CGS is "two BLAS-2 mul!s"), which XLA streams well;
+  on workers where the Pallas operand pipeline is capped (BENCH_NOTES round-3
+  forensics: ~320 GB/s vs 693 GB/s XLA fusion) this variant wins.
+
+Layout: each shard owns an (m1, R, 512) slice of the global (m1, D*R, 512)
+row panel — rows padded per shard to R*512 >= n/D, pad lanes zero.  A bf16
+panel (GMRES-IR mode) streams at half the bytes; all arithmetic is f32.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+from jax.sharding import Mesh, PartitionSpec as P
+
+__all__ = [
+    "PanelLayout",
+    "panel_layout",
+    "dist_panel_ortho",
+    "vec_to_panel_row",
+    "panel_row_to_vec",
+]
+
+_LANES = 512
+_MAX_CROWS = 512                 # chunk = (512, 512) f32 = 1 MB
+_VMEM_BUDGET = 96 * 2**20
+
+# test hook: run the per-shard Pallas kernels in interpret mode on CPU
+_PALLAS_INTERPRET = False
+# test hook: force the XLA local sweeps even on TPU (A/B dispatch)
+_FORCE_XLA = False
+
+
+def _round_up(x, m):
+    return -(-x // m) * m
+
+
+class PanelLayout(NamedTuple):
+    n: int          # global rows
+    D: int          # shards
+    nloc: int       # rows per shard (n // D)
+    R: int          # padded (rows-of-512) per shard
+    CR: int         # chunk rows (R % CR == 0)
+    nc: int         # chunks per row sweep
+
+
+def panel_layout(n: int, D: int) -> PanelLayout | None:
+    """Static per-shard geometry, or None when the layout does not apply
+    (n not divisible by the shard count)."""
+    n, D = int(n), int(D)
+    if D < 1 or n % D != 0:
+        return None
+    nloc = n // D
+    r_min = -(-nloc // _LANES)
+    if r_min >= _MAX_CROWS:
+        CR = _MAX_CROWS
+        R = _round_up(r_min, CR)
+    else:
+        R = r_min
+        CR = R
+    return PanelLayout(n, D, nloc, R, CR, R // CR)
+
+
+def _pallas_fits(layout: PanelLayout, panel_dtype) -> bool:
+    pd = jnp.dtype(panel_dtype)
+    resident = 2 * 4 * layout.R * _LANES          # w in + w out blocks (f32)
+    buffers = 2 * pd.itemsize * layout.CR * _LANES
+    return resident + buffers < _VMEM_BUDGET
+
+
+# ---------------------------------------------------------------------------
+# Per-shard Pallas sweeps
+# ---------------------------------------------------------------------------
+
+
+def _dots_kernel(R, CR, nc, m1, k_ref, w_ref, panel, h_ref, buf, acc, sem):
+    """partial[j] = <panel_row_j, w> for rows j <= k (f32 accumulate)."""
+    j = pl.program_id(0)
+    active = j <= k_ref[0]
+
+    @pl.when(jnp.logical_not(active))
+    def _():
+        h_ref[j] = jnp.zeros((), h_ref.dtype)
+
+    def dma(ci):
+        slot = ci % 2
+        return pltpu.make_async_copy(
+            panel.at[pl.ds(j * R + ci * CR, CR), :],
+            buf.at[pl.ds(slot * CR, CR), :],
+            sem.at[slot],
+        )
+
+    @pl.when(active)
+    def _():
+        acc[...] = jnp.zeros_like(acc)
+        dma(0).start()
+        for ci in range(nc):
+            if ci + 1 < nc:
+                dma(ci + 1).start()
+            dma(ci).wait()
+            blk = buf[pl.ds((ci % 2) * CR, CR), :]
+            wblk = w_ref[pl.ds(ci * CR, CR), :]
+            acc[...] += jnp.sum(blk.astype(acc.dtype) * wblk, axis=0,
+                                keepdims=True)
+        h_ref[j] = jnp.sum(acc[...])
+
+
+def _update_kernel(R, CR, nc, m1, k_ref, h_ref, w_ref, panel,
+                   y_ref, ss_ref, buf, acc, sem):
+    """w -= h[j] * panel_row_j for rows j <= k; emit sum(w*w) partial."""
+    j = pl.program_id(0)
+
+    @pl.when(j == 0)
+    def _():
+        y_ref[...] = w_ref[...]
+
+    active = j <= k_ref[0]
+
+    def dma(ci):
+        slot = ci % 2
+        return pltpu.make_async_copy(
+            panel.at[pl.ds(j * R + ci * CR, CR), :],
+            buf.at[pl.ds(slot * CR, CR), :],
+            sem.at[slot],
+        )
+
+    @pl.when(active)
+    def _():
+        hj = h_ref[j]
+        dma(0).start()
+        for ci in range(nc):
+            if ci + 1 < nc:
+                dma(ci + 1).start()
+            dma(ci).wait()
+            blk = buf[pl.ds((ci % 2) * CR, CR), :]
+            sl = pl.ds(ci * CR, CR)
+            y_ref[sl, :] = y_ref[sl, :] - hj * blk.astype(y_ref.dtype)
+
+    @pl.when(j == m1 - 1)
+    def _():
+        acc[...] = jnp.zeros_like(acc)
+        for ci in range(nc):
+            v = y_ref[pl.ds(ci * CR, CR), :]
+            acc[...] += jnp.sum(v * v, axis=0, keepdims=True)
+        ss_ref[0, 0] = jnp.sum(acc[...])
+
+
+def _vma_of(x):
+    return getattr(jax.typeof(x), "vma", None)
+
+
+def _pallas_dots(layout: PanelLayout, V_loc, w2d, k, m1, interpret):
+    R, CR, nc = layout.R, layout.CR, layout.nc
+    panel2d = V_loc.reshape(m1 * R, _LANES)
+    kvec = jnp.asarray(k, jnp.int32).reshape(1)
+    vma = _vma_of(w2d)
+    if vma:
+        kvec = jax.lax.pvary(kvec, tuple(vma))
+    kern = partial(_dots_kernel, R, CR, nc, m1)
+    return pl.pallas_call(
+        kern,
+        grid=(m1,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((R, _LANES), lambda j: (0, 0)),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((m1,), lambda j: (0,),
+                               memory_space=pltpu.SMEM),
+        out_shape=jax.ShapeDtypeStruct((m1,), jnp.float32, vma=vma),
+        scratch_shapes=[
+            pltpu.VMEM((2 * CR, _LANES), V_loc.dtype),
+            pltpu.VMEM((1, _LANES), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 2**20),
+        interpret=interpret,
+    )(kvec, w2d, panel2d)
+
+
+def _pallas_update(layout: PanelLayout, V_loc, w2d, h, k, m1, interpret):
+    R, CR, nc = layout.R, layout.CR, layout.nc
+    panel2d = V_loc.reshape(m1 * R, _LANES)
+    kvec = jnp.asarray(k, jnp.int32).reshape(1)
+    vma = _vma_of(w2d)
+    if vma:
+        axes = tuple(vma)
+        kvec = jax.lax.pvary(kvec, axes)
+        h = jax.lax.pvary(h, axes)
+    kern = partial(_update_kernel, R, CR, nc, m1)
+    y, ss = pl.pallas_call(
+        kern,
+        grid=(m1,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((R, _LANES), lambda j: (0, 0)),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=[
+            pl.BlockSpec((R, _LANES), lambda j: (0, 0)),
+            pl.BlockSpec((1, 1), lambda j: (0, 0),
+                         memory_space=pltpu.SMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((R, _LANES), jnp.float32, vma=vma),
+            jax.ShapeDtypeStruct((1, 1), jnp.float32, vma=vma),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2 * CR, _LANES), V_loc.dtype),
+            pltpu.VMEM((1, _LANES), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 2**20),
+        interpret=interpret,
+    )(kvec, h, w2d, panel2d)
+    return y, ss[0, 0]
+
+
+# ---------------------------------------------------------------------------
+# Per-shard XLA sweeps (tall-skinny gemv, the reference's CGS shape)
+# ---------------------------------------------------------------------------
+
+
+def _xla_dots(layout: PanelLayout, V_loc, w2d, k, m1):
+    # rows beyond the active count are zero by panel invariant; no mask needed
+    Vf = V_loc.reshape(m1, -1)
+    return jnp.matmul(Vf, w2d.reshape(-1).astype(Vf.dtype),
+                      preferred_element_type=jnp.float32,
+                      precision=jax.lax.Precision.HIGHEST)
+
+
+def _xla_update(layout: PanelLayout, V_loc, w2d, h, k, m1):
+    Vf = V_loc.reshape(m1, -1)
+    upd = jnp.matmul(h.astype(Vf.dtype), Vf,
+                     preferred_element_type=jnp.float32,
+                     precision=jax.lax.Precision.HIGHEST)
+    y = w2d - upd.reshape(w2d.shape)
+    return y, jnp.sum(y.astype(jnp.float32) * y)
+
+
+# ---------------------------------------------------------------------------
+# The shard_map composition
+# ---------------------------------------------------------------------------
+
+
+def _use_pallas(layout: PanelLayout, panel_dtype) -> bool:
+    if _PALLAS_INTERPRET:
+        return True
+    if _FORCE_XLA:
+        return False
+    try:
+        on_tpu = jax.default_backend() == "tpu"
+    except Exception:  # pragma: no cover - no backend at all
+        on_tpu = False
+    return on_tpu and _pallas_fits(layout, panel_dtype)
+
+
+def _local_cgs(layout: PanelLayout, m1, axes, passes, use_pallas, interpret,
+               V_loc, w_loc, k):
+    """Shard-local CGS-with-reorthogonalization + normalization.
+
+    V_loc: (m1, R, 512) panel shard (f32 or bf16); w_loc: (nloc,) f32;
+    k: int32 active-row count.  Returns (w2d normalized (R, 512) f32,
+    h (m1,) f32 accumulated coefficients, nrm () f32) — replicated h/nrm.
+    """
+    R = layout.R
+    w2d = jnp.zeros((R * _LANES,), jnp.float32).at[: layout.nloc].set(
+        w_loc.astype(jnp.float32)).reshape(R, _LANES)
+    h_tot = jnp.zeros((m1,), jnp.float32)
+    for _ in range(passes):
+        if use_pallas:
+            part = _pallas_dots(layout, V_loc, w2d, k, m1, interpret)
+        else:
+            part = _xla_dots(layout, V_loc, w2d, k, m1)
+        h = jax.lax.psum(part, axes)
+        if use_pallas:
+            w2d, ss_part = _pallas_update(layout, V_loc, w2d, h, k, m1,
+                                          interpret)
+        else:
+            w2d, ss_part = _xla_update(layout, V_loc, w2d, h, k, m1)
+        h_tot = h_tot + h
+    ss = jax.lax.psum(ss_part, axes)
+    nrm = jnp.sqrt(ss)
+    inv = jnp.where(nrm == 0, 1.0, 1.0 / nrm).astype(w2d.dtype)
+    return w2d * inv, h_tot, nrm
+
+
+def dist_panel_ortho(V, w, k, m1: int, mesh: Mesh, axes, layout: PanelLayout,
+                     *, passes: int = 2, interpret: bool | None = None):
+    """Orthogonalize the row-sharded w against rows 0..k of the sharded
+    panel and normalize (distributed CGS2; see module docstring).
+
+    Args:
+      V: (m1, D*R, 512) global panel, sharded ``P(None, axes, None)``.
+      w: (n,) vector, sharded ``P(axes)``.
+      k: int32 scalar — rows 0..k participate.
+      m1: static panel row count.
+
+    Returns ``(w2d, h, nrm)``: the normalized w in the global padded panel-row
+    layout (D*R, 512) sharded over rows, the (m1,) accumulated projection
+    coefficients (replicated), and the norm BEFORE normalization —
+    ``w_original = sum_j h[j] V[j] + nrm * w2d`` (same contract as
+    ops/pallas_mgs.panel_mgs).
+    """
+    if interpret is None:
+        interpret = _PALLAS_INTERPRET
+    use_pallas = _use_pallas(layout, V.dtype)
+    local = partial(_local_cgs, layout, m1, tuple(axes), passes,
+                    use_pallas, interpret)
+    return jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(None, axes, None), P(axes), P()),
+        out_specs=(P(axes, None), P(), P()),
+        check_vma=not interpret,
+    )(V, w, jnp.asarray(k, jnp.int32))
+
+
+def vec_to_panel_row(v, mesh: Mesh, axes, layout: PanelLayout):
+    """(n,) row-sharded vector -> (D*R, 512) padded panel-row layout
+    (shard-local pad + reshape; zero communication)."""
+    R = layout.R
+
+    def local(v_loc):
+        flat = jnp.zeros((R * _LANES,), v_loc.dtype).at[: layout.nloc].set(
+            v_loc)
+        return flat.reshape(R, _LANES)
+
+    return jax.shard_map(local, mesh=mesh, in_specs=P(axes),
+                         out_specs=P(axes, None))(v)
+
+
+def panel_row_to_vec(row2d, mesh: Mesh, axes, layout: PanelLayout):
+    """(D*R, 512) padded panel-row layout -> (n,) row-sharded vector."""
+
+    def local(r_loc):
+        return r_loc.reshape(-1)[: layout.nloc]
+
+    return jax.shard_map(local, mesh=mesh, in_specs=P(axes, None),
+                         out_specs=P(axes))(row2d)

@@ -77,7 +77,7 @@ def test_back_substitute(rng):
 
 
 @pytest.mark.parametrize("dtype", DTYPES)
-@pytest.mark.parametrize("method", ["mgs", "cgs", "dgks"])
+@pytest.mark.parametrize("method", ["mgs", "cgs", "cgs2", "dgks"])
 def test_orthogonalize_invariants(rng, dtype, method):
     """~ test/orthogonalize.jl:25-61: unit norm, V'w == 0, reconstruction."""
     n, k, m = 30, 4, 8

@@ -126,6 +126,27 @@ def is_identity(P) -> bool:
     return P is None or isinstance(P, IdentityPreconditioner)
 
 
+def _multicolor_perm(csr):
+    """Greedy-multicolor permutation of a CSR pattern: rows grouped by color
+    (stable within a color).  An ILU(0)/IC(0) factor of the PERMUTED matrix
+    has no fill, and rows of one color share no edge, so every row's
+    triangular-solve dependencies sit in earlier colors — the level schedule
+    of the factor collapses to <= ncolors parallel fronts (2 for red-black
+    grids) instead of the O(n^{1/3}) anti-diagonal fronts natural ordering
+    yields on 3-D stencils.  The permuted factorization is a (well-known)
+    slightly weaker preconditioner per iteration; it exists to make the
+    APPLY wall-clock-parallel on TPU (VERDICT r3 item 4)."""
+    import numpy as np
+
+    from ..solvers.stationary import _color_classes
+
+    color, nc = _color_classes(csr)
+    perm = np.argsort(np.asarray(color), kind="stable").astype(np.int64)
+    inv = np.empty_like(perm)
+    inv[perm] = np.arange(perm.size)
+    return perm, inv, nc
+
+
 @jax.tree_util.register_pytree_node_class
 class ILUPreconditioner(Preconditioner):
     """ILU(0): incomplete LU with zero fill on A's sparsity pattern.
@@ -138,18 +159,30 @@ class ILUPreconditioner(Preconditioner):
     two level-scheduled triangular sweeps on device, the same kernel the
     sparse Gauss-Seidel/SOR solvers use (ops/triangular.py).
 
+    ``ordering="multicolor"`` factors the multicolor-permuted matrix instead
+    (see ``_multicolor_perm``): the level count of the apply collapses to
+    the color count, trading a few extra Krylov iterations for a
+    wall-clock-parallel sweep — the right default at n >= ~1e6 on TPU.
+
     For matrices whose exact LU has no fill (e.g. tridiagonal), ILU(0) IS
     the exact factorization and preconditioned solvers converge in O(1)
     iterations.  Note the ILU apply is nonsymmetric even for SPD A — use
     :class:`ICPreconditioner` with ``cg``/``minres``.
     """
 
-    def __init__(self, lower_solve, upper_solve):
+    def __init__(self, lower_solve, upper_solve, perm=None, inv=None):
         self.lower_solve = lower_solve
         self.upper_solve = upper_solve
+        self.perm = perm
+        self.inv = inv
+
+    @property
+    def nlevels(self):
+        """Sequential fronts per triangular sweep (the apply's depth)."""
+        return max(self.lower_solve.nlevels, self.upper_solve.nlevels)
 
     @classmethod
-    def from_operator(cls, A) -> "ILUPreconditioner":
+    def from_operator(cls, A, ordering: str = "natural") -> "ILUPreconditioner":
         import numpy as np
 
         from ..native import ilu0
@@ -160,6 +193,12 @@ class ILUPreconditioner(Preconditioner):
         n, m = csr.shape
         if n != m:
             raise ValueError("ILU(0) needs a square operator")
+        perm = inv = None
+        if ordering == "multicolor":
+            perm, inv, _nc = _multicolor_perm(csr)
+            csr = csr.permute(perm)
+        elif ordering != "natural":
+            raise ValueError(f"unknown ordering {ordering!r}")
         indptr = np.asarray(csr._host("indptr"))
         indices = np.asarray(csr._host("indices"))
         rows = np.asarray(csr._host("row_ids"))
@@ -176,7 +215,9 @@ class ILUPreconditioner(Preconditioner):
         upper = LevelScheduledTriangular.from_csr(
             np.asarray(ucsr._host("indptr")), np.asarray(ucsr._host("indices")),
             np.asarray(ucsr._host("data")), f[dmask], lower=False)
-        return cls(lower, upper)
+        return cls(lower, upper,
+                   None if perm is None else jnp.asarray(perm, jnp.int32),
+                   None if inv is None else jnp.asarray(inv, jnp.int32))
 
     @classmethod
     def block_jacobi(cls, A, nblocks: int) -> "ILUPreconditioner":
@@ -204,10 +245,14 @@ class ILUPreconditioner(Preconditioner):
         return cls.from_operator(blockdiag)
 
     def ldiv(self, x):
+        if self.perm is not None:
+            xp = x[self.perm]
+            y = self.upper_solve.solve(self.lower_solve.solve(xp))
+            return y[self.inv].astype(x.dtype)
         return self.upper_solve.solve(self.lower_solve.solve(x))
 
     def tree_flatten(self):
-        return (self.lower_solve, self.upper_solve), None
+        return (self.lower_solve, self.upper_solve, self.perm, self.inv), None
 
     @classmethod
     def tree_unflatten(cls, aux, leaves):
@@ -220,14 +265,25 @@ class ICPreconditioner(Preconditioner):
     (or Hermitian positive-definite) A, applied as L^{-H} L^{-1} — a
     symmetric preconditioner safe for ``cg``/``minres``/``lobpcg``.
     Raises ``ZeroDivisionError`` on breakdown (non-positive pivot); shifted
-    variants can be built by passing ``A + alpha*I``."""
+    variants can be built by passing ``A + alpha*I``.
 
-    def __init__(self, lower_solve, upper_solve):
+    ``ordering="multicolor"`` factors the multicolor-permuted matrix: the
+    symmetric permutation preserves SPD-ness, and the apply's level count
+    collapses to the color count (see :class:`ILUPreconditioner`)."""
+
+    def __init__(self, lower_solve, upper_solve, perm=None, inv=None):
         self.lower_solve = lower_solve
         self.upper_solve = upper_solve
+        self.perm = perm
+        self.inv = inv
+
+    @property
+    def nlevels(self):
+        """Sequential fronts per triangular sweep (the apply's depth)."""
+        return max(self.lower_solve.nlevels, self.upper_solve.nlevels)
 
     @classmethod
-    def from_operator(cls, A) -> "ICPreconditioner":
+    def from_operator(cls, A, ordering: str = "natural") -> "ICPreconditioner":
         import numpy as np
 
         from ..native import ic0
@@ -238,6 +294,12 @@ class ICPreconditioner(Preconditioner):
         n, m = csr.shape
         if n != m:
             raise ValueError("IC(0) needs a square operator")
+        perm = inv = None
+        if ordering == "multicolor":
+            perm, inv, _nc = _multicolor_perm(csr)
+            csr = csr.permute(perm)
+        elif ordering != "natural":
+            raise ValueError(f"unknown ordering {ordering!r}")
         indptr = np.asarray(csr._host("indptr"))
         indices = np.asarray(csr._host("indices"))
         rows = np.asarray(csr._host("row_ids"))
@@ -262,13 +324,19 @@ class ICPreconditioner(Preconditioner):
         upper = LevelScheduledTriangular.from_csr(
             np.asarray(ucsr._host("indptr")), np.asarray(ucsr._host("indices")),
             np.asarray(ucsr._host("data")), gdiag, lower=False)
-        return cls(lower, upper)
+        return cls(lower, upper,
+                   None if perm is None else jnp.asarray(perm, jnp.int32),
+                   None if inv is None else jnp.asarray(inv, jnp.int32))
 
     def ldiv(self, x):
+        if self.perm is not None:
+            xp = x[self.perm]
+            y = self.upper_solve.solve(self.lower_solve.solve(xp))
+            return y[self.inv].astype(x.dtype)
         return self.upper_solve.solve(self.lower_solve.solve(x))
 
     def tree_flatten(self):
-        return (self.lower_solve, self.upper_solve), None
+        return (self.lower_solve, self.upper_solve, self.perm, self.inv), None
 
     @classmethod
     def tree_unflatten(cls, aux, leaves):

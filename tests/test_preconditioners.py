@@ -149,3 +149,66 @@ def test_incomplete_factorizations_on_compressed_operators():
         x2 = its.gmres(op, b, Pl=Pi, reltol=1e-8, restart=20)
         r2 = np.linalg.norm(np.asarray(A.mv(x2)) - b) / np.linalg.norm(b)
         assert r2 < 1e-6
+
+
+def test_multicolor_ic0_level_collapse_and_convergence():
+    """ordering="multicolor": the IC(0) apply's level schedule collapses to
+    the color count (2 for red-black stencil grids) while preconditioned CG
+    convergence stays in the same class as natural ordering (VERDICT r3
+    item 4: the apply must be wall-clock-parallel, not depth-bound)."""
+    import iterativesolvers_tpu as its
+    from iterativesolvers_tpu.operators.preconditioners import ICPreconditioner
+    from iterativesolvers_tpu.utils.fixtures import laplace_dia
+
+    A = laplace_dia(12, 3, dtype=np.float64).to_csr()   # 1728 rows, 7-point
+    b = np.ones(A.shape[0])
+    Pn = ICPreconditioner.from_operator(A)
+    Pm = ICPreconditioner.from_operator(A, ordering="multicolor")
+    assert Pm.nlevels == 2                     # red-black
+    assert Pn.nlevels > 5 * Pm.nlevels         # natural is depth-bound
+    x0, h0 = its.cg(A, b, reltol=1e-8, maxiter=2000, log=True)
+    xm, hm = its.cg(A, b, Pl=Pm, reltol=1e-8, maxiter=2000, log=True)
+    xn, hn = its.cg(A, b, Pl=Pn, reltol=1e-8, maxiter=2000, log=True)
+    assert hm.isconverged
+    # still a real preconditioner (beats unpreconditioned), and within 1.5x
+    # of natural-order IC iterations (the known multicolor quality tax)
+    assert hm.iters < h0.iters
+    assert hm.iters <= 1.5 * hn.iters + 2
+    r = np.linalg.norm(np.asarray(A.mv(xm)) - b) / np.linalg.norm(b)
+    assert r < 1e-7
+
+
+def test_multicolor_ilu0_gmres_nonsymmetric():
+    """Multicolor ILU(0) on the advection-diffusion operator accelerates
+    GMRES; the permuted apply is algebraically a preconditioner of A itself
+    (solution matches the unpreconditioned solve)."""
+    import jax.numpy as jnp
+
+    import iterativesolvers_tpu as its
+    from iterativesolvers_tpu.operators.preconditioners import ILUPreconditioner
+    from iterativesolvers_tpu.utils.fixtures import advection_diffusion
+
+    A, b = advection_diffusion(12, dtype=np.float64)
+    csr = A.to_csr()
+    P = ILUPreconditioner.from_operator(csr, ordering="multicolor")
+    assert P.nlevels <= 4
+    x, h = its.gmres(csr, jnp.asarray(b), Pl=P, restart=20, reltol=1e-9,
+                     maxiter=500, log=True)
+    x0, h0 = its.gmres(csr, jnp.asarray(b), restart=20, reltol=1e-9,
+                       maxiter=500, log=True)
+    assert h.isconverged and h.iters < h0.iters
+    np.testing.assert_allclose(np.asarray(x), np.asarray(x0),
+                               rtol=1e-5, atol=1e-8)
+
+
+def test_multicolor_unknown_ordering_raises():
+    from iterativesolvers_tpu.operators.preconditioners import (
+        ICPreconditioner, ILUPreconditioner,
+    )
+    from iterativesolvers_tpu.utils.fixtures import laplace_dia
+
+    A = laplace_dia(6, 2, dtype=np.float64).to_csr()
+    with pytest.raises(ValueError):
+        ILUPreconditioner.from_operator(A, ordering="rainbow")
+    with pytest.raises(ValueError):
+        ICPreconditioner.from_operator(A, ordering="rainbow")

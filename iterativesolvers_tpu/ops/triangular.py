@@ -104,6 +104,23 @@ class LevelScheduledTriangular:
         diag = self.diag if omega is None else self.diag / omega
         diag_pad = jnp.concatenate([diag, jnp.ones(1, diag.dtype)])
         rhs_pad = jnp.concatenate([rhs, jnp.zeros(1, rhs.dtype)])
+        # under shard_map (per-shard apply, parallel/precond.py) the loop
+        # carry must already be marked varying over the mesh axes the data
+        # varies over, or the fori_loop carry types mismatch
+        def _vma(a):
+            return set(getattr(jax.typeof(a), "vma", ()) or ())
+
+        vma = _vma(rhs) | _vma(self.vals) | _vma(self.diag)
+        if vma:
+            missing = tuple(vma - _vma(y))
+            if missing:
+                y = jax.lax.pvary(y, missing)
+            missing = tuple(vma - _vma(diag_pad))
+            if missing:
+                diag_pad = jax.lax.pvary(diag_pad, missing)
+            missing = tuple(vma - _vma(rhs_pad))
+            if missing:
+                rhs_pad = jax.lax.pvary(rhs_pad, missing)
 
         rows, cols, vals = self.rows, self.cols, self.vals
 

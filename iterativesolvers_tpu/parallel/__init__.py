@@ -4,6 +4,7 @@ from .panel_ortho import (
     panel_row_to_vec,
     vec_to_panel_row,
 )
+from .precond import ShardedBlockJacobiPreconditioner
 from .sharded import (
     HaloDIAOperator,
     HaloStencilOperator,
@@ -20,6 +21,7 @@ __all__ = [
     "HaloDIAOperator",
     "HaloStencilOperator",
     "RowShardedELLOperator",
+    "ShardedBlockJacobiPreconditioner",
     "dist_panel_ortho",
     "panel_layout",
     "panel_row_to_vec",

@@ -323,3 +323,79 @@ def test_halo_spmv_bf16_values_exact(mesh):
     np.testing.assert_array_equal(yc, y32)
     np.testing.assert_array_equal(np.asarray(opc.rmv(x)),
                                   np.asarray(op.rmv(x)))
+
+
+# ---------------- distributed preconditioning (parallel/precond.py) --------
+
+
+def _bj_mesh():
+    assert len(jax.devices()) >= 8
+    from iterativesolvers_tpu.parallel import row_mesh
+
+    return row_mesh(8)
+
+
+def test_sharded_block_jacobi_matches_single_device():
+    """Shard-local block-Jacobi ILU(0) under shard_map is the SAME operator
+    as ILUPreconditioner.block_jacobi(A, D) applied on one device: the
+    preconditioned solves agree iterate-for-iterate (VERDICT r3 item 5)."""
+    import iterativesolvers_tpu as its
+    from iterativesolvers_tpu.operators.preconditioners import ILUPreconditioner
+    from iterativesolvers_tpu.parallel import HaloDIAOperator, shard_vector
+    from iterativesolvers_tpu.parallel.precond import (
+        ShardedBlockJacobiPreconditioner,
+    )
+    from iterativesolvers_tpu.utils.fixtures import laplace_dia
+
+    mesh = _bj_mesh()
+    A = laplace_dia(16, 2, dtype=np.float64)
+    csr = A.to_csr()
+    b = jnp.ones(A.shape[0])
+    P1 = ILUPreconditioner.block_jacobi(csr, 8)
+    Ps = ShardedBlockJacobiPreconditioner.ilu(csr, mesh)
+    # the preconditioner application itself matches
+    r = jnp.asarray(np.random.default_rng(0).standard_normal(A.shape[0]))
+    np.testing.assert_allclose(np.asarray(Ps.ldiv(shard_vector(r, mesh))),
+                               np.asarray(P1.ldiv(r)), rtol=1e-12, atol=1e-12)
+    # and a full preconditioned CG over the halo operator converges to the
+    # same solution in the same number of iterations
+    op = HaloDIAOperator(A, mesh)
+    xs, hs = its.cg(op, shard_vector(b, mesh), Pl=Ps, reltol=1e-10,
+                    maxiter=500, log=True)
+    x1, h1 = its.cg(A, b, Pl=P1, reltol=1e-10, maxiter=500, log=True)
+    assert hs.isconverged and hs.iters == h1.iters
+    np.testing.assert_allclose(np.asarray(xs), np.asarray(x1), atol=1e-9)
+
+
+def test_sharded_block_jacobi_ic_multicolor():
+    """IC(0) variant with per-block multicolor ordering: symmetric apply,
+    per-shard level count collapses to the block color count, CG converges."""
+    import iterativesolvers_tpu as its
+    from iterativesolvers_tpu.parallel import HaloDIAOperator, shard_vector
+    from iterativesolvers_tpu.parallel.precond import (
+        ShardedBlockJacobiPreconditioner,
+    )
+    from iterativesolvers_tpu.utils.fixtures import laplace_dia
+
+    mesh = _bj_mesh()
+    A = laplace_dia(16, 2, dtype=np.float64)
+    csr = A.to_csr()
+    b = jnp.ones(A.shape[0])
+    Pn = ShardedBlockJacobiPreconditioner.ic(csr, mesh)
+    Pm = ShardedBlockJacobiPreconditioner.ic(csr, mesh, ordering="multicolor")
+    assert Pm.nlevels == 2 and Pn.nlevels > Pm.nlevels
+    # symmetric apply: <P^-1 u, v> == <u, P^-1 v>
+    rng = np.random.default_rng(1)
+    u = shard_vector(jnp.asarray(rng.standard_normal(A.shape[0])), mesh)
+    v = shard_vector(jnp.asarray(rng.standard_normal(A.shape[0])), mesh)
+    lhs = float(jnp.vdot(Pm.ldiv(u), v))
+    rhs = float(jnp.vdot(u, Pm.ldiv(v)))
+    assert abs(lhs - rhs) < 1e-10 * abs(lhs)
+    op = HaloDIAOperator(A, mesh)
+    x0, h0 = its.cg(op, shard_vector(b, mesh), reltol=1e-10, maxiter=500,
+                    log=True)
+    xm, hm = its.cg(op, shard_vector(b, mesh), Pl=Pm, reltol=1e-10,
+                    maxiter=500, log=True)
+    assert hm.isconverged and hm.iters < h0.iters
+    r = np.linalg.norm(np.asarray(A.mv(jnp.asarray(np.asarray(xm)))) - 1.0)
+    assert r < 1e-7

@@ -72,7 +72,20 @@ def bench_cg_tridiag():
 
 def bench_gmres_sprand():
     """GMRES(15), symmetrized I + sprand(n, n, 5/n), n = 1e5
-    (~ benchmark/benchmark-linear-systems.jl:47-68)."""
+    (~ benchmark/benchmark-linear-systems.jl:47-68).
+
+    PINNED PARITY (BENCH_NOTES round 4): this workload does NOT reach
+    tol 1e-5 within 210 iterations for ANY GMRES(15) — the symmetrized
+    matrix is indefinite (measured spectrum [-1.05, 3.89] straddles zero),
+    scipy.sparse.linalg.gmres on the identical matrix/budget ends at
+    relative residual 0.028254583014 vs ours 0.028254583012
+    (iteration-for-iteration equivalence to ~1e-10), exact-pattern ILU is
+    exactly singular (scipy spilu raises), and MINRES / GMRES(120) still
+    sit at ~1e-2 after 2000 iterations.  `converged: false` here is
+    reference parity, not a solver gap; `parity_rel_resid_scipy` pins it.
+    A diagonally-dominant variant of the same generator (shift=4, the
+    stationary fixture) converges and is reported in `detail` to show the
+    pipeline converges when the matrix is solvable at this budget."""
     import jax.numpy as jnp
 
     import iterativesolvers_tpu as its
@@ -85,8 +98,23 @@ def bench_gmres_sprand():
                       symmetrize=True, shift=1.0).to_hyb()
     b = jnp.ones((n,), jnp.float32)
     x, h = its.gmres(A, b, restart=15, reltol=1e-5, maxiter=210, log=True)
+    rel = float(jnp.linalg.norm(b - A.mv(x)) / jnp.linalg.norm(b))
     t, _ = _timeit(lambda r: its.gmres(A, _shift(b, r), restart=15, reltol=1e-5, maxiter=210))
-    return dict(wall_s=t, iters=h.iters, converged=h.isconverged)
+    # converging control: same generator, diagonally dominant (shift=4)
+    Ad = random_sparse(n, n, 5.0 / n, seed=1, dtype=np.float32,
+                       symmetrize=True, shift=4.0).to_hyb()
+    xd, hd = its.gmres(Ad, b, restart=15, reltol=1e-5, maxiter=210, log=True)
+    td, _ = _timeit(lambda r: its.gmres(Ad, _shift(b, r), restart=15,
+                                        reltol=1e-5, maxiter=210))
+    return dict(wall_s=t, iters=h.iters, converged=h.isconverged,
+                detail=dict(
+                    rel_resid=round(rel, 12),
+                    parity_rel_resid_scipy=0.028254583014,
+                    parity="indefinite spectrum [-1.05, 3.89]; scipy gmres "
+                           "identical residual at same budget; see "
+                           "BENCH_NOTES round 4",
+                    dd_variant=dict(wall_s=round(td, 4), iters=hd.iters,
+                                    converged=hd.isconverged)))
 
 
 def bench_bicgstabl_advdiff():
@@ -152,6 +180,43 @@ def bench_stationary():
         t, _ = _timeit(lambda r: fn(A, _shift(b, r), *args, maxiter=20, **kw))
         detail[name] = round(t, 4)
     return dict(wall_s=detail["sor"], iters=20, converged=True, detail=detail)
+
+
+def bench_chebyshev():
+    """Chebyshev with Gershgorin spectral bounds on a diagonally-dominant
+    sprand matrix — completes BASELINE config 3 ("stationary sweeps +
+    Chebyshev with spectral bounds"; ~ reference src/chebyshev.jl, which
+    requires user-supplied (lmin, lmax) positional bounds)."""
+    import jax.numpy as jnp
+
+    import iterativesolvers_tpu as its
+    from iterativesolvers_tpu.utils.fixtures import random_sparse
+
+    n = 10_000
+    # shift=8 makes the Gershgorin bounds strictly positive (max off-row
+    # radius of this seed is ~6.9), so the bounds are valid Chebyshev input
+    A = random_sparse(n, n, 5.0 / n, seed=2, dtype=np.float32,
+                      symmetrize=True, shift=8.0)
+    rows = np.asarray(A._host("row_ids"))
+    cols = np.asarray(A._host("indices"))
+    vals = np.asarray(A._host("data"))
+    d = np.zeros(n, np.float64)
+    d[rows[rows == cols]] = vals[rows == cols]
+    r = np.zeros(n, np.float64)
+    off = rows != cols
+    np.add.at(r, rows[off], np.abs(vals[off]))
+    lmin = float((d - r).min())
+    lmax = float((d + r).max())
+    assert lmin > 0, lmin
+    b = jnp.ones((n,), jnp.float32)
+    x, h = its.chebyshev(A, b, lmin, lmax, reltol=1e-6, maxiter=1000,
+                         log=True)
+    rel = float(jnp.linalg.norm(b - A.mv(x)) / jnp.linalg.norm(b))
+    t, _ = _timeit(lambda rr: its.chebyshev(A, _shift(b, rr), lmin, lmax,
+                                            reltol=1e-6, maxiter=1000))
+    return dict(wall_s=t, iters=h.iters, converged=h.isconverged,
+                detail=dict(lmin=round(lmin, 4), lmax=round(lmax, 4),
+                            resid=round(rel, 9)))
 
 
 def bench_lsqr_lsmr():
@@ -271,11 +336,19 @@ def bench_matrixmarket():
     A = its.load_matrix_market(path, dtype=np.float32)
     n = A.shape[0]
     b = jnp.ones((n,), jnp.float32)
+    # IC(0) preconditioning for the GMRES leg: unpreconditioned GMRES(20)
+    # stalls on this SPD spectrum (800 iters, conv false — r3); with IC(0)
+    # it converges in ~250 (VERDICT r3 item 3: every workload finishes
+    # converged or carries a pinned parity note)
+    from iterativesolvers_tpu.operators.preconditioners import ICPreconditioner
+
+    Pic = ICPreconditioner.from_operator(A)
     detail = {}
     for name, run in (
         ("cg", lambda bb: its.cg(A, bb, reltol=1e-6, maxiter=2000, log=True)),
-        ("gmres", lambda bb: its.gmres(A, bb, restart=20, reltol=1e-6,
-                                       maxiter=800, log=True)),
+        ("gmres_ic0", lambda bb: its.gmres(A, bb, Pl=Pic, restart=20,
+                                           reltol=1e-6, maxiter=800,
+                                           log=True)),
     ):
         x, h = run(b)
         t, _ = _timeit(lambda r: run(_shift(b, r))[0])
@@ -384,6 +457,7 @@ ALL = {
     "bicgstabl_advdiff_125k": bench_bicgstabl_advdiff,
     "minres_tridiag_100k": bench_minres_tridiag,
     "stationary_10k": bench_stationary,
+    "chebyshev_10k": bench_chebyshev,
     "lsqr_lsmr_200kx50k": bench_lsqr_lsmr,
     "lobpcg_laplace_10k": bench_lobpcg_laplace,
     "svdl_5kx3k": bench_svdl,

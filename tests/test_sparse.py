@@ -498,3 +498,25 @@ def test_compress_values_int8_exact(rng):
     B = sym_tridiagonal_dia(2.01, -1.0, 32)
     assert not its.values_representable(B, jnp.int8)
     assert its.compress_values(B, dtype=jnp.int8) is B
+
+
+def test_gradient_operator_matches_csr_and_adjoint():
+    """GradientOperator (matrix-free rectangular gradient, zero gathers)
+    equals its materialized CSR on mv and rmv, and rmv is the true adjoint."""
+    import jax.numpy as jnp
+
+    from iterativesolvers_tpu.operators.stencil import GradientOperator
+
+    G = GradientOperator((4, 5, 6), dtype=np.float64)
+    C = G.to_csr()
+    assert G.shape == (3 * 120, 120) == C.shape
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal(G.n)
+    y = rng.standard_normal(G.shape[0])
+    np.testing.assert_allclose(np.asarray(G.mv(jnp.asarray(x))),
+                               np.asarray(C.mv(x)), atol=1e-12)
+    np.testing.assert_allclose(np.asarray(G.rmv(jnp.asarray(y))),
+                               np.asarray(C.rmv(y)), atol=1e-12)
+    lhs = float(jnp.vdot(jnp.asarray(y), G.mv(jnp.asarray(x))))
+    rhs = float(jnp.vdot(G.rmv(jnp.asarray(y)), jnp.asarray(x)))
+    assert abs(lhs - rhs) < 1e-10 * abs(lhs)

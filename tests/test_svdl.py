@@ -87,3 +87,17 @@ def test_harmonic_complex_raises(rng):
 def test_k_guard(rng):
     with pytest.raises(ValueError):
         svdl(rng.random((20, 20)), nsv=15, k=25)
+
+
+def test_svdl_gradient_operator():
+    """svdl on the matrix-free rectangular GradientOperator (the gather-free
+    operator class used for the >= 1M-row TPU svdl scale evidence,
+    benchmarks/tpu_svdl_1m_gradient.py) matches dense SVD ground truth."""
+    import iterativesolvers_tpu as its
+    from iterativesolvers_tpu.operators.stencil import GradientOperator
+
+    G = GradientOperator((5, 6, 7), dtype=np.float64)
+    vals, _L = its.svdl(G, nsv=4, tol=1e-8, maxiter=200)
+    sv_ref = np.linalg.svd(np.asarray(G.to_csr().to_dense()),
+                           compute_uv=False)[:4]
+    np.testing.assert_allclose(np.asarray(vals), sv_ref, rtol=1e-6)

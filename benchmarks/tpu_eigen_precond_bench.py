@@ -45,7 +45,17 @@ def main():
     Pic = ICPreconditioner.from_operator(A.to_csr())
     t_fact = time.perf_counter() - t0
     print(json.dumps({"stage": "ic0_factorization", "n": n,
-                      "seconds": round(t_fact, 2)}), flush=True)
+                      "seconds": round(t_fact, 2),
+                      "nlevels": Pic.nlevels}), flush=True)
+
+    # multicolor ordering (round 4): the natural-ordering apply serializes
+    # ~300 level fronts on the 3-D grid; red-black collapses it to 2
+    t0 = time.perf_counter()
+    Pmc = ICPreconditioner.from_operator(A.to_csr(), ordering="multicolor")
+    t_fact_mc = time.perf_counter() - t0
+    print(json.dumps({"stage": "ic0_multicolor_factorization", "n": n,
+                      "seconds": round(t_fact_mc, 2),
+                      "nlevels": Pmc.nlevels}), flush=True)
 
     rng = np.random.default_rng(7)
     X0 = jnp.asarray(rng.standard_normal((n, bs)).astype(np.float32))
@@ -68,8 +78,9 @@ def main():
         print(json.dumps(out), flush=True)
         return out
 
-    res_p = run(Pic, "ic0", maxiter)
+    res_p = run(Pmc, "ic0_multicolor", maxiter)
     res_u = run(None, "unpreconditioned", maxiter)
+    res_nat = run(Pic, "ic0_natural", maxiter)
 
     # analytic smallest eigenvalues of the 3-D Dirichlet Laplacian:
     # lam_ijk = sum of 4 sin^2(pi q / (2 (side+1))); smallest 4 are

@@ -1,0 +1,92 @@
+"""Compiled-on-TPU validation of the per-shard panel-orthogonalization
+kernels inside shard_map (VERDICT r3 item 1 "done" evidence half 2).
+
+Only one real chip is attached, so this runs the REAL Mosaic-compiled
+kernels (no interpret mode) on a 1-device mesh under shard_map with
+check_vma on — proving the pallas_call + vma annotations compile and
+execute under the mesh machinery, exactly like round 3 did for the
+stencil interior.  The 8-device execution semantics are pinned by the
+CPU-mesh tests (tests/test_parallel_stencil.py::
+test_dist_panel_ortho_pallas_matches_xla).
+
+Also times the per-shard Pallas sweeps vs the per-shard XLA gemv sweeps at
+the bench scale (n = 216^3, m = 21) — the measured-dispatch A/B for the
+distributed default.
+"""
+
+import json
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+import iterativesolvers_tpu.parallel.panel_ortho as po
+from iterativesolvers_tpu.parallel.sharded import row_mesh
+
+
+def fence(x):
+    for leaf in jax.tree_util.tree_leaves(x):
+        if hasattr(leaf, "dtype"):
+            np.asarray(jnp.ravel(leaf)[:1])
+
+
+def main():
+    assert jax.default_backend() == "tpu", jax.devices()
+    mesh = row_mesh(1)
+    axes = ("rows",)
+    n, m1, k = 216 ** 3, 21, 10
+    lay = po.panel_layout(n, 1)
+    print(json.dumps({"probe": "layout", "R": lay.R, "CR": lay.CR,
+                      "nc": lay.nc}), flush=True)
+
+    rng = np.random.default_rng(0)
+    D, R = lay.D, lay.R
+    for vdtype, tag in ((jnp.float32, "f32"), (jnp.bfloat16, "bf16")):
+        V = rng.standard_normal((m1, D * R, 512)).astype(np.float32) * 0.01
+        V[k + 1:] = 0.0
+        w = rng.standard_normal(n).astype(np.float32)
+        Vj = jax.device_put(jnp.asarray(V, vdtype),
+                            NamedSharding(mesh, P(None, "rows", None)))
+        wj = jax.device_put(jnp.asarray(w), NamedSharding(mesh, P("rows")))
+
+        outs = {}
+        for path, force_xla in (("pallas", False), ("xla", True)):
+            po._FORCE_XLA = force_xla
+
+            @jax.jit
+            def go(Vj, wj):
+                return po.dist_panel_ortho(Vj, wj, jnp.int32(k), m1, mesh,
+                                           axes, lay)
+
+            t0 = time.perf_counter()
+            w2d, h, nrm = go(Vj, wj)
+            fence((w2d, h, nrm))
+            t_first = time.perf_counter() - t0
+            best = float("inf")
+            for r in range(5):
+                wr = wj + jnp.float32(1e-6 * (r + 1))
+                t0 = time.perf_counter()
+                out = go(Vj, wr)
+                fence(out)
+                best = min(best, time.perf_counter() - t0)
+            outs[path] = (np.asarray(w2d), np.asarray(h), float(nrm), best)
+            print(json.dumps({"probe": f"panel_cgs2_{tag}_{path}",
+                              "us": round(best * 1e6, 1),
+                              "first_s": round(t_first, 1),
+                              "nrm": round(float(nrm), 6)}), flush=True)
+            po._FORCE_XLA = False
+
+        dw = float(np.max(np.abs(outs["pallas"][0] - outs["xla"][0])))
+        dh = float(np.max(np.abs(outs["pallas"][1] - outs["xla"][1])))
+        print(json.dumps({"probe": f"pallas_vs_xla_{tag}",
+                          "max_dw": dw, "max_dh": dh,
+                          "ok": dw < 1e-3 and dh < 1e-1}), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -78,8 +78,18 @@ def main():
         print(json.dumps(out), flush=True)
         return out
 
-    res_p = run(Pmc, "ic0_multicolor", maxiter)
+    # gather-free red-black IC(0) (round 4): the level-scheduled applies
+    # above are gather-bound (~8 ns/nnz) on this worker; the closed-form
+    # RB factorization applies as ~2 stencil passes — zero gathers
+    from iterativesolvers_tpu.operators.preconditioners import (
+        RedBlackICPreconditioner,
+    )
+
+    St = its.laplacian(side, 3, dtype=np.float32)
+    Prb = RedBlackICPreconditioner.from_stencil(St)
+    res_rb = run(Prb, "ic0_redblack_gatherfree", maxiter)
     res_u = run(None, "unpreconditioned", maxiter)
+    res_p = run(Pmc, "ic0_multicolor", maxiter)
     res_nat = run(Pic, "ic0_natural", maxiter)
 
     # analytic smallest eigenvalues of the 3-D Dirichlet Laplacian:

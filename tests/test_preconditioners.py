@@ -212,3 +212,77 @@ def test_multicolor_unknown_ordering_raises():
         ILUPreconditioner.from_operator(A, ordering="rainbow")
     with pytest.raises(ValueError):
         ICPreconditioner.from_operator(A, ordering="rainbow")
+
+
+def test_redblack_ic_exact_vs_native_ic0():
+    """RedBlackICPreconditioner (gather-free closed form) IS the IC(0) of
+    the red-black-ordered matrix: equality with the native sequential ic0
+    factorization to machine epsilon, on odd AND even grid sides."""
+    from iterativesolvers_tpu.operators.preconditioners import (
+        RedBlackICPreconditioner,
+    )
+    from iterativesolvers_tpu.operators.stencil import laplacian
+
+    rng = np.random.default_rng(0)
+    for side, dims in ((9, 3), (8, 2)):
+        st = laplacian(side, dims, dtype=np.float64)
+        n = st.n
+        P = RedBlackICPreconditioner.from_stencil(st)
+        csr = laplace_dia(side, dims, dtype=np.float64).to_csr()
+        red = np.asarray(P.red)
+        perm = np.concatenate([np.where(red)[0], np.where(~red)[0]])
+        Pic = ICPreconditioner.from_operator(csr.permute(perm))
+        inv = np.empty(n, np.int64)
+        inv[perm] = np.arange(n)
+        x = rng.standard_normal(n)
+        ours = np.asarray(P.ldiv(jnp.asarray(x)))
+        ref = np.asarray(Pic.ldiv(jnp.asarray(x[perm])))[inv]
+        np.testing.assert_allclose(ours, ref, atol=1e-14)
+
+
+def test_redblack_ic_symmetric_accelerates_and_vmaps():
+    import jax
+
+    from iterativesolvers_tpu.operators.preconditioners import (
+        RedBlackICPreconditioner,
+    )
+    from iterativesolvers_tpu.operators.stencil import laplacian
+
+    st = laplacian(9, 3, dtype=np.float64)
+    P = RedBlackICPreconditioner.from_stencil(st)
+    rng = np.random.default_rng(1)
+    u = rng.standard_normal(st.n)
+    v = rng.standard_normal(st.n)
+    lhs = float(u @ np.asarray(P.ldiv(jnp.asarray(v))))
+    rhs = float(v @ np.asarray(P.ldiv(jnp.asarray(u))))
+    assert abs(lhs - rhs) < 1e-12 * abs(lhs)
+    b = jnp.ones(st.n)
+    x0, h0 = its.cg(st, b, reltol=1e-10, maxiter=2000, log=True)
+    xp, hp = its.cg(st, b, Pl=P, reltol=1e-10, maxiter=2000, log=True)
+    assert hp.isconverged and hp.iters < h0.iters
+    assert float(jnp.linalg.norm(st.mv(xp) - b)) < 1e-8
+    blk = jnp.asarray(rng.standard_normal((3, st.n)))
+    out = np.asarray(jax.vmap(P.ldiv)(blk))
+    ref = np.stack([np.asarray(P.ldiv(blk[i])) for i in range(3)])
+    np.testing.assert_allclose(out, ref, atol=1e-14)
+
+
+def test_redblack_ic_guards():
+    from iterativesolvers_tpu.operators.preconditioners import (
+        RedBlackICPreconditioner,
+    )
+    from iterativesolvers_tpu.operators.stencil import (
+        StencilOperator, advection_diffusion_stencil,
+    )
+
+    # non-unit step (|offset| != stride)
+    bad = StencilOperator(64, 4.0, ((2, 1, 64), (-2, 1, 64)), (-1.0, -1.0),
+                          dtype=np.float64)
+    with pytest.raises(ValueError):
+        RedBlackICPreconditioner.from_stencil(bad)
+    # nonsymmetric coefficients (advection)
+    with pytest.raises(ValueError):
+        RedBlackICPreconditioner.from_stencil(
+            advection_diffusion_stencil(8, dtype=np.float64))
+    with pytest.raises(TypeError):
+        RedBlackICPreconditioner.from_stencil(laplace_dia(8, 2))

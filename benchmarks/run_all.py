@@ -197,16 +197,7 @@ def bench_chebyshev():
     # radius of this seed is ~6.9), so the bounds are valid Chebyshev input
     A = random_sparse(n, n, 5.0 / n, seed=2, dtype=np.float32,
                       symmetrize=True, shift=8.0)
-    rows = np.asarray(A._host("row_ids"))
-    cols = np.asarray(A._host("indices"))
-    vals = np.asarray(A._host("data"))
-    d = np.zeros(n, np.float64)
-    d[rows[rows == cols]] = vals[rows == cols]
-    r = np.zeros(n, np.float64)
-    off = rows != cols
-    np.add.at(r, rows[off], np.abs(vals[off]))
-    lmin = float((d - r).min())
-    lmax = float((d + r).max())
+    lmin, lmax = its.gershgorin_bounds(A)
     assert lmin > 0, lmin
     b = jnp.ones((n,), jnp.float32)
     x, h = its.chebyshev(A, b, lmin, lmax, reltol=1e-6, maxiter=1000,

@@ -66,14 +66,26 @@ def main():
                        maxiter=maxi)
         jax.block_until_ready(r.lam)
         wall = time.perf_counter() - t0
+        # warm re-solve (perturbed start): first-call time includes the
+        # while-loop compile, which differs per preconditioner type and
+        # polluted the r3 comparison — the warm column is the honest one
+        t0 = time.perf_counter()
+        r2 = its.lobpcg(A, X0 + np.float32(1e-5), largest=False, nev=nev,
+                        P=P, tol=tol, maxiter=maxi)
+        jax.block_until_ready(r2.lam)
+        wall_warm = time.perf_counter() - t0
         out = {
             "workload": f"lobpcg_101cube_{label}",
             "n": n, "nev": nev, "blocksize": bs, "tol": tol,
             "converged": bool(r.converged),
             "iterations": int(r.iterations),
+            "iterations_warm": int(r2.iterations),
             "eigenvalues": [float(v) for v in np.asarray(r.lam)],
             "residual_norms": [float(v) for v in np.asarray(r.residual_norms)],
             "wall_s_incl_compile": round(wall, 2),
+            "wall_s_warm": round(wall_warm, 2),
+            "ms_per_iter_warm": round(1e3 * wall_warm /
+                                      max(int(r2.iterations), 1), 1),
         }
         print(json.dumps(out), flush=True)
         return out

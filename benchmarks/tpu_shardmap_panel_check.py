@@ -63,20 +63,32 @@ def main():
                 return po.dist_panel_ortho(Vj, wj, jnp.int32(k), m1, mesh,
                                            axes, lay)
 
+            K = 10  # in-jit chained repeats: the per-call dispatch floor on
+            # this worker has been measured as high as ~26 ms (round 4),
+            # swamping single-call timings
+
+            @jax.jit
+            def go_many(Vj, wj):
+                def body(i, w):
+                    w2d, h, nrm = po.dist_panel_ortho(
+                        Vj, w, jnp.int32(k), m1, mesh, axes, lay)
+                    return po.panel_row_to_vec(w2d, mesh, axes, lay) + wj * jnp.float32(1e-6)
+                return jax.lax.fori_loop(0, K, body, wj)
+
             t0 = time.perf_counter()
             w2d, h, nrm = go(Vj, wj)
             fence((w2d, h, nrm))
             t_first = time.perf_counter() - t0
+            fence(go_many(Vj, wj))
             best = float("inf")
-            for r in range(5):
+            for r in range(4):
                 wr = wj + jnp.float32(1e-6 * (r + 1))
                 t0 = time.perf_counter()
-                out = go(Vj, wr)
-                fence(out)
+                fence(go_many(Vj, wr))
                 best = min(best, time.perf_counter() - t0)
             outs[path] = (np.asarray(w2d), np.asarray(h), float(nrm), best)
             print(json.dumps({"probe": f"panel_cgs2_{tag}_{path}",
-                              "us": round(best * 1e6, 1),
+                              "us_per_ortho": round(best / K * 1e6, 1),
                               "first_s": round(t_first, 1),
                               "nrm": round(float(nrm), 6)}), flush=True)
             po._FORCE_XLA = False

@@ -22,9 +22,11 @@ from .operators.preconditioners import (
     ILUPreconditioner,
     IdentityPreconditioner,
     Preconditioner,
+    RedBlackICPreconditioner,
     as_preconditioner,
 )
 from .operators.stencil import (
+    GradientOperator,
     StencilOperator,
     advection_diffusion_stencil,
     laplacian,
@@ -71,5 +73,6 @@ from .ops.triangular import LevelScheduledTriangular
 from .utils.dtypes import zerox
 from .utils.history import ConvergenceHistory
 from .utils.io import load_matrix_market
+from .utils.spectral import gershgorin_bounds, power_bound
 
 __version__ = "0.1.0"

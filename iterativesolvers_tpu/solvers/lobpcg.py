@@ -233,7 +233,7 @@ def _ritz_and_split(Sbr, ASbr, BSbr, alive, k, largest):
 def _make_w(opA, opB, prec, Yr, BYr, S, extra_proj=None):
     R_blk = S.AX - S.BX * S.lam[:, None]
     resn = jnp.linalg.norm(R_blk, axis=1)
-    W = jax.vmap(prec.ldiv)(R_blk)
+    W = prec.ldiv_rows(R_blk)
     W = _deflate(Yr, BYr, W)
     W = _project_out(W, S.X, S.BX)
     if extra_proj is not None:

@@ -106,3 +106,27 @@ def test_dgks_reorthogonalizes_hard_case(rng):
     np.testing.assert_allclose(
         V @ np.asarray(h) + float(nrm) * np.asarray(w), w0,
         rtol=1e-8, atol=1e-12)
+
+
+def test_spectral_bound_helpers():
+    """gershgorin_bounds encloses the true spectrum; power_bound upper-bounds
+    lambda_max (Chebyshev's required inputs — the reference makes the user
+    supply them, src/chebyshev.jl:59)."""
+    import iterativesolvers_tpu as its
+    from iterativesolvers_tpu.utils.fixtures import laplace_dia
+
+    A = laplace_dia(12, 2, dtype=np.float64)
+    dense = np.asarray(A.to_dense())
+    ev = np.linalg.eigvalsh(dense)
+    lmin, lmax = its.gershgorin_bounds(A.to_csr())
+    assert lmin <= ev[0] and ev[-1] <= lmax
+    # stencil form gives the same enclosure
+    lmin2, lmax2 = its.gershgorin_bounds(its.laplacian(12, 2, dtype=np.float64))
+    assert abs(lmin - lmin2) < 1e-12 and abs(lmax - lmax2) < 1e-12
+    pb = float(its.power_bound(A, iters=100))
+    assert ev[-1] <= pb <= 1.10 * ev[-1]
+    # chebyshev with the computed bounds converges
+    b = np.ones(A.shape[0])
+    x, h = its.chebyshev(A, b, max(lmin, float(ev[0])), lmax, reltol=1e-8,
+                         maxiter=2000, log=True)
+    assert h.isconverged

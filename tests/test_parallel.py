@@ -399,3 +399,23 @@ def test_sharded_block_jacobi_ic_multicolor():
     assert hm.isconverged and hm.iters < h0.iters
     r = np.linalg.norm(np.asarray(A.mv(jnp.asarray(np.asarray(xm)))) - 1.0)
     assert r < 1e-7
+
+
+def test_gmres_dist_panel_on_halo_dia():
+    """The sharded-panel GMRES path also dispatches for HaloDIAOperator
+    (any mesh-carrying operator), matching the single-device solve."""
+    import iterativesolvers_tpu as its
+    from iterativesolvers_tpu.parallel import HaloDIAOperator, shard_vector
+    from iterativesolvers_tpu.solvers.gmres import _dist_panel_setup
+    from iterativesolvers_tpu.utils.fixtures import laplace_dia
+
+    mesh = _bj_mesh()
+    A = laplace_dia(16, 2, dtype=np.float64)
+    op = HaloDIAOperator(A, mesh)
+    assert _dist_panel_setup(op, A.shape[0], jnp.float64, "mgs") is not None
+    b = jnp.ones(A.shape[0])
+    x, h = its.gmres(op, shard_vector(b, mesh), restart=20, reltol=1e-9,
+                     maxiter=500, log=True)
+    xs, hs = its.gmres(A, b, restart=20, reltol=1e-9, maxiter=500, log=True)
+    assert h.isconverged and hs.isconverged
+    np.testing.assert_allclose(np.asarray(x), np.asarray(xs), atol=1e-7)

@@ -287,3 +287,24 @@ def test_lobpcg_on_halo_stencil_mesh(mesh):
     assert r.converged
     np.testing.assert_allclose(np.asarray(r.lam), np.asarray(rs.lam),
                                rtol=1e-6)
+
+
+def test_nonsymmetric_krylov_on_mesh(mesh):
+    """BiCGStab(l) / IDR(s) / QMR drive the distributed halo stencil
+    (GSPMD-partitioned loops, mv + rmv collectives) to the solution."""
+    st = advection_diffusion_stencil(8, dtype=np.float64)
+    op = HaloStencilOperator(st, mesh)
+    b = shard_vector(jnp.ones(st.n), mesh)
+    for name, run in (
+        ("bicgstabl", lambda: its.bicgstabl(op, b, 2, reltol=1e-8,
+                                            max_mv_products=2000, log=True)),
+        ("idrs", lambda: its.idrs(op, b, s=4, reltol=1e-8, maxiter=500,
+                                  log=True)),
+        ("qmr", lambda: its.qmr(op, b, reltol=1e-8, maxiter=500, log=True)),
+    ):
+        x, h = run()
+        assert h.isconverged, name
+        r = np.linalg.norm(
+            np.asarray(st.mv(jnp.asarray(np.asarray(x)))) - 1.0
+        ) / np.sqrt(st.n)
+        assert r < 1e-7, (name, r)

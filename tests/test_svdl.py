@@ -92,12 +92,23 @@ def test_k_guard(rng):
 def test_svdl_gradient_operator():
     """svdl on the matrix-free rectangular GradientOperator (the gather-free
     operator class used for the >= 1M-row TPU svdl scale evidence,
-    benchmarks/tpu_svdl_1m_gradient.py) matches dense SVD ground truth."""
+    benchmarks/tpu_svdl_1m_gradient.py) matches the ANALYTIC ground truth:
+    G^T G is the Dirichlet Laplacian of the grid, whose eigenvalues are
+    sums of 4 sin^2(q pi / (2 (d+1))) per axis — so sigma_k = sqrt(lam_k)
+    exactly (no dense LAPACK call; a threaded-BLAS svd here segfaulted
+    flakily under full-suite load)."""
+    import itertools
+
     import iterativesolvers_tpu as its
     from iterativesolvers_tpu.operators.stencil import GradientOperator
 
-    G = GradientOperator((5, 6, 7), dtype=np.float64)
+    dims = (5, 6, 7)
+    G = GradientOperator(dims, dtype=np.float64)
     vals, _L = its.svdl(G, nsv=4, tol=1e-8, maxiter=200)
-    sv_ref = np.linalg.svd(np.asarray(G.to_csr().to_dense()),
-                           compute_uv=False)[:4]
+    lam = sorted(
+        (sum(4 * np.sin(q * np.pi / (2 * (d + 1))) ** 2
+             for q, d in zip(qs, dims))
+         for qs in itertools.product(*(range(1, d + 1) for d in dims))),
+        reverse=True)
+    sv_ref = np.sqrt(lam[:4])
     np.testing.assert_allclose(np.asarray(vals), sv_ref, rtol=1e-6)

@@ -51,9 +51,9 @@ def main():
     fence(vals)
     t = time.perf_counter() - t0
 
-    # analytic anchor: sigma_max = sqrt(lambda_max(3-D Laplacian)) with
-    # lambda_axis = 4 sin^2(k pi / (2(side+1))), k = side
-    lam_ax = 4 * np.sin(side * np.pi / (2 * (side + 1))) ** 2
+    # analytic anchor: G^T G for forward differences is the NEUMANN
+    # Laplacian — per-axis lambda = 4 sin^2(q pi / (2 side)), q <= side-1
+    lam_ax = 4 * np.sin((side - 1) * np.pi / (2 * side)) ** 2
     sig_max = float(np.sqrt(3 * lam_ax))
     sv = np.asarray(vals, np.float64)
     print(json.dumps({

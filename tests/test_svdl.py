@@ -93,10 +93,11 @@ def test_svdl_gradient_operator():
     """svdl on the matrix-free rectangular GradientOperator (the gather-free
     operator class used for the >= 1M-row TPU svdl scale evidence,
     benchmarks/tpu_svdl_1m_gradient.py) matches the ANALYTIC ground truth:
-    G^T G is the Dirichlet Laplacian of the grid, whose eigenvalues are
-    sums of 4 sin^2(q pi / (2 (d+1))) per axis — so sigma_k = sqrt(lam_k)
-    exactly (no dense LAPACK call; a threaded-BLAS svd here segfaulted
-    flakily under full-suite load)."""
+    G^T G for forward differences (zero row at each axis's upper boundary)
+    is the NEUMANN Laplacian of the grid — per-axis eigenvalues
+    4 sin^2(q pi / (2 d)), q = 0..d-1 — so sigma_k = sqrt(lam_k) exactly
+    (no dense LAPACK call; a threaded-BLAS svd here segfaulted flakily
+    under full-suite load)."""
     import itertools
 
     import iterativesolvers_tpu as its
@@ -106,9 +107,9 @@ def test_svdl_gradient_operator():
     G = GradientOperator(dims, dtype=np.float64)
     vals, _L = its.svdl(G, nsv=4, tol=1e-8, maxiter=200)
     lam = sorted(
-        (sum(4 * np.sin(q * np.pi / (2 * (d + 1))) ** 2
+        (sum(4 * np.sin(q * np.pi / (2 * d)) ** 2
              for q, d in zip(qs, dims))
-         for qs in itertools.product(*(range(1, d + 1) for d in dims))),
+         for qs in itertools.product(*(range(d) for d in dims))),
         reverse=True)
     sv_ref = np.sqrt(lam[:4])
     np.testing.assert_allclose(np.asarray(vals), sv_ref, rtol=1e-6)

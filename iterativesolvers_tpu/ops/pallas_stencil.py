@@ -40,6 +40,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from ..utils.compat import mark_varying
+
 __all__ = ["stencil_plan", "stencil_apply", "pallas_is_available"]
 
 _LANE = 1024          # Mosaic 1-D HBM tiling: DMA offsets/sizes must align
@@ -261,8 +263,8 @@ def stencil_apply(plan: StencilPlan, center, inner_coeffs, outer_coeffs, x,
         # pallas_call abstract-eval vma rule accepts the mix of per-shard x
         # and replicated coefficient streams
         axes = tuple(vma)
-        mcs = [jax.lax.pvary(mc, axes) for mc in mcs]
-        scal = jax.lax.pvary(scal, axes)
+        mcs = [mark_varying(mc, axes) for mc in mcs]
+        scal = mark_varying(scal, axes)
         inputs = [x, x, scal] + mcs
     out_shape = [jax.ShapeDtypeStruct((plan.nb * plan.block,), dtype,
                                       vma=vma)]

@@ -24,6 +24,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..utils.compat import mark_varying
+
 __all__ = ["LevelScheduledTriangular"]
 
 
@@ -114,13 +116,13 @@ class LevelScheduledTriangular:
         if vma:
             missing = tuple(vma - _vma(y))
             if missing:
-                y = jax.lax.pvary(y, missing)
+                y = mark_varying(y, missing)
             missing = tuple(vma - _vma(diag_pad))
             if missing:
-                diag_pad = jax.lax.pvary(diag_pad, missing)
+                diag_pad = mark_varying(diag_pad, missing)
             missing = tuple(vma - _vma(rhs_pad))
             if missing:
-                rhs_pad = jax.lax.pvary(rhs_pad, missing)
+                rhs_pad = mark_varying(rhs_pad, missing)
 
         rows, cols, vals = self.rows, self.cols, self.vals
 

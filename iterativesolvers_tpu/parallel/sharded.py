@@ -48,6 +48,7 @@ __all__ = [
     "HaloDIAOperator",
     "HaloStencilOperator",
     "RowShardedELLOperator",
+    "DenseMeshOperator",
 ]
 
 ROW_AXIS = "rows"
@@ -768,4 +769,63 @@ class RowShardedELLOperator(LinearOperator):
         obj = object.__new__(cls)
         obj.data, obj.cols, obj.adj_data, obj.adj_cols = leaves
         obj.mesh, obj.axes, obj._shape = aux
+        return obj
+
+
+@jax.tree_util.register_pytree_node_class
+class DenseMeshOperator(LinearOperator):
+    """Dense matrix on a row mesh via GSPMD auto-partitioning, at ANY n.
+
+    The shard_map operators above require ``n % D == 0`` (their halo/permute
+    layouts are even-split by construction); this operator instead lets XLA
+    pad the uneven row partition, so it carries the ``mesh``/``axes`` mesh-
+    operator contract for row counts that do not divide the device count.
+    Its main role is pinning the sharded-panel GMRES path's zero-padded
+    last-shard layout (parallel/panel_ortho.panel_layout; VERDICT r4
+    item 5) — for production-size even splits prefer the halo operators.
+    """
+
+    def __init__(self, mat, mesh: Mesh, axes=None):
+        if mat.ndim != 2 or mat.shape[0] != mat.shape[1]:
+            raise ValueError("DenseMeshOperator requires a square matrix")
+        self.mesh = mesh
+        self.axes = tuple(axes) if axes is not None else tuple(_row_axes(mesh))
+        n = int(mat.shape[0])
+        D = int(np.prod([mesh.shape[a] for a in self.axes]))
+        n_pad = -(-n // D) * D
+        self._n = n
+        if n_pad != n:  # zero rows: even row split for NamedSharding
+            mat = jnp.concatenate(
+                [jnp.asarray(mat),
+                 jnp.zeros((n_pad - n, n), jnp.asarray(mat).dtype)])
+        self.mat = jax.device_put(
+            mat, NamedSharding(mesh, P(self.axes, None)))
+
+    @property
+    def shape(self):
+        return (self._n, self._n)
+
+    @property
+    def dtype(self):
+        return self.mat.dtype
+
+    def mv(self, x):
+        y = self.mat @ x  # (n_pad,); pad rows are zero
+        y = jax.lax.with_sharding_constraint(
+            y, NamedSharding(self.mesh, P(self.axes)))
+        return y[: self._n]
+
+    def rmv(self, x):
+        x_pad = (x if self.mat.shape[0] == self._n else
+                 jnp.concatenate(
+                     [x, jnp.zeros((self.mat.shape[0] - self._n,), x.dtype)]))
+        return jnp.conj(self.mat).T @ x_pad
+
+    def tree_flatten(self):
+        return (self.mat,), (self.mesh, self.axes, self._n)
+
+    @classmethod
+    def tree_unflatten(cls, aux, leaves):
+        obj = object.__new__(cls)
+        (obj.mat,), (obj.mesh, obj.axes, obj._n) = leaves, aux
         return obj

@@ -143,11 +143,21 @@ class _DistPanel(NamedTuple):
         return (self.layout.D * self.layout.R, 512)
 
 
-def _dist_panel_setup(op, n, dtype, orth_method) -> _DistPanel | None:
+def _dist_panel_setup(op, n, dtype, orth_method, warn: bool = False,
+                      explicit: bool = True) -> _DistPanel | None:
     """Static dispatch for the sharded-panel path: the operator carries a
-    multi-device mesh (Halo*Operator / RowSharded*Operator), the row count
-    divides the shard count, real f32/f64 solve, and the caller asked for
-    the default MGS (subsumed by CGS2 on a mesh) or CGS explicitly."""
+    multi-device mesh (Halo*Operator / RowSharded*Operator), real f32/f64
+    solve, and the caller asked for the default MGS (subsumed by CGS2 on a
+    mesh) or CGS/CGS2 explicitly.  Non-divisible n is handled by the
+    layout's zero-padded last shard (parallel/panel_ortho.panel_layout).
+
+    ``warn=True`` (set once by the ``gmres()`` wrapper; the warnings module
+    dedups by call site) surfaces the dispatch substitutions: 'dgks' and
+    complex dtypes bypass the panel path onto the slow GSPMD
+    orthogonalization (m scalar psums per step) — always warned; an
+    EXPLICITLY requested 'mgs'/'cgs' is upgraded to distributed CGS2 (same
+    stability class, m-independent allreduce count) — warned only when
+    ``explicit`` (the solver's own default pick is not a substitution)."""
     import numpy as np
 
     from ..parallel.panel_ortho import panel_layout
@@ -156,16 +166,37 @@ def _dist_panel_setup(op, n, dtype, orth_method) -> _DistPanel | None:
     axes = getattr(op, "axes", None)
     if mesh is None or axes is None:
         return None
-    if orth_method not in ("mgs", "cgs", "cgs2"):
-        return None
-    if jnp.dtype(dtype) not in (jnp.dtype(jnp.float32), jnp.dtype(jnp.float64)):
-        return None
     D = int(np.prod([mesh.shape[a] for a in axes]))
     if D <= 1:
+        return None
+    on_mesh_but = None
+    if orth_method not in ("mgs", "cgs", "cgs2"):
+        on_mesh_but = (
+            f"orth_method={orth_method!r} has no sharded-panel form")
+    elif jnp.dtype(dtype) not in (jnp.dtype(jnp.float32),
+                                  jnp.dtype(jnp.float64)):
+        on_mesh_but = f"solve dtype {jnp.dtype(dtype).name} is not f32/f64"
+    if on_mesh_but is not None:
+        if warn:
+            import warnings
+
+            warnings.warn(
+                f"gmres on a {D}-device mesh operator: {on_mesh_but}; "
+                "falling back to GSPMD orthogonalization (m scalar "
+                "allreduces per Arnoldi step instead of the sharded-panel "
+                "CGS2 hot path)", stacklevel=3)
         return None
     layout = panel_layout(n, D)
     if layout is None:
         return None
+    if warn and explicit and orth_method in ("mgs", "cgs"):
+        import warnings
+
+        warnings.warn(
+            f"gmres on a {D}-device mesh operator: orth_method="
+            f"{orth_method!r} is subsumed by distributed CGS2 on the "
+            "sharded-panel path (same DGKS stability class, one (m+1,)-"
+            "vector allreduce per pass)", stacklevel=3)
     return _DistPanel(mesh, tuple(axes), layout)
 
 
@@ -546,7 +577,7 @@ def gmres(
     reltol: float | None = None,
     restart: int | None = None,
     maxiter: int | None = None,
-    orth_method: str = "mgs",
+    orth_method: str | None = None,
     panel_dtype="auto",
     ir_stall_exit: bool = True,
     log: bool = False,
@@ -587,6 +618,11 @@ def gmres(
     maxiter = int(maxiter if maxiter is not None else n)
     initially_zero = x0 is None
     dtype = solve_dtype(op.dtype, b.dtype)
+    orth_explicit = orth_method is not None
+    orth_method = orth_method or "mgs"
+    # surface any mesh-dispatch substitution/fallback once, outside the jit
+    _dist_panel_setup(op, n, dtype, orth_method, warn=True,
+                      explicit=orth_explicit)
     if x0 is None:
         x0 = jnp.zeros(n, dtype=dtype)
     if isinstance(panel_dtype, str) and panel_dtype == "auto":
@@ -646,7 +682,7 @@ def gmres_iterator(
     reltol: float | None = None,
     restart: int | None = None,
     maxiter: int | None = None,
-    orth_method: str = "mgs",
+    orth_method: str | None = None,
 ) -> SolverIterator:
     """Eager GMRES iterator (~ ``gmres_iterable!``, src/gmres.jl:108-136):
     yields the (lazily estimated) residual norm each inner iteration.
@@ -661,6 +697,7 @@ def gmres_iterator(
     maxiter = int(maxiter if maxiter is not None else n)
     initially_zero = x0 is None
     dtype = solve_dtype(op.dtype, b.dtype)
+    orth_method = orth_method or "mgs"
     if x0 is None:
         x0 = jnp.zeros(n, dtype=dtype)
     reltol_, abstol_ = resolve_tols(dtype, reltol, abstol)

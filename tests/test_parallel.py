@@ -419,3 +419,66 @@ def test_gmres_dist_panel_on_halo_dia():
     xs, hs = its.gmres(A, b, restart=20, reltol=1e-9, maxiter=500, log=True)
     assert h.isconverged and hs.isconverged
     np.testing.assert_allclose(np.asarray(x), np.asarray(xs), atol=1e-7)
+
+
+def test_gmres_dist_panel_nondivisible_n(mesh):
+    """n % D != 0 rides the sharded-panel path via the zero-padded last
+    shard (parallel/panel_ortho.panel_layout; VERDICT r4 item 5) instead of
+    silently dropping to GSPMD orthogonalization."""
+    from iterativesolvers_tpu.parallel.sharded import DenseMeshOperator
+    from iterativesolvers_tpu.solvers.gmres import _dist_panel_setup
+
+    n = 1003  # prime-ish: not divisible by 8
+    rng = np.random.default_rng(7)
+    A = np.eye(n) * 4.0 + 0.5 * rng.standard_normal((n, n)) / np.sqrt(n)
+    op = DenseMeshOperator(jnp.asarray(A), mesh)
+    dist = _dist_panel_setup(op, n, jnp.float64, "mgs")
+    assert dist is not None, "non-divisible n must still dispatch"
+    assert dist.layout.n_pad != n and dist.layout.n == n
+    b = jnp.ones(n)
+    x = its.gmres(op, b, reltol=1e-10, restart=20, maxiter=200)
+    x_ref = its.gmres(jnp.asarray(A), b, reltol=1e-10, restart=20,
+                      maxiter=200)
+    np.testing.assert_allclose(np.asarray(x), np.asarray(x_ref), atol=1e-8)
+    r = A @ np.asarray(x) - 1.0
+    assert np.linalg.norm(r) / np.sqrt(n) < 1e-9
+
+
+def test_gmres_dist_panel_dgks_fallback_warns(mesh):
+    """orth_method='dgks' has no sharded-panel form: the solve must fall
+    back to GSPMD orthogonalization, stay correct, AND say so (ADVICE r4)."""
+    from iterativesolvers_tpu.solvers.gmres import _dist_panel_setup
+
+    A = laplace_dia(16, 2)
+    op = HaloDIAOperator(A, mesh)
+    n = A.shape[0]
+    assert _dist_panel_setup(op, n, jnp.float64, "dgks") is None
+    b = shard_vector(jnp.ones(n), mesh)
+    with pytest.warns(UserWarning, match="falling back to GSPMD"):
+        x = its.gmres(op, b, orth_method="dgks", reltol=1e-10, restart=20,
+                      maxiter=300)
+    r = np.asarray(A.to_dense()) @ np.asarray(x) - 1.0
+    assert np.linalg.norm(r) / np.sqrt(n) < 1e-9
+
+
+def test_gmres_dist_panel_substitution_warns(mesh):
+    """Explicit 'cgs' on a mesh operator is upgraded to distributed CGS2 —
+    with a warning naming the substitution (ADVICE r4)."""
+    A = laplace_dia(16, 2)
+    op = HaloDIAOperator(A, mesh)
+    b = shard_vector(jnp.ones(A.shape[0]), mesh)
+    with pytest.warns(UserWarning, match="subsumed by distributed CGS2"):
+        its.gmres(op, b, orth_method="cgs", reltol=1e-8, restart=10,
+                  maxiter=100)
+
+
+def test_dist_panel_ortho_passes_validation(mesh):
+    """passes=0 raises a clear error instead of a trace-time NameError."""
+    import iterativesolvers_tpu.parallel.panel_ortho as po
+
+    lay = po.panel_layout(8 * 512, 8)
+    V = jnp.zeros((3, lay.D * lay.R, 512), jnp.float32)
+    w = jnp.ones(8 * 512, jnp.float32)
+    with pytest.raises(ValueError, match="passes >= 1"):
+        po.dist_panel_ortho(V, w, jnp.int32(0), 3, mesh, ("rows",), lay,
+                            passes=0)

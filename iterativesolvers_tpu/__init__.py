@@ -17,6 +17,7 @@ from .operators.linear_operator import (
 from .operators.preconditioners import (
     DensePreconditioner,
     DiagonalPreconditioner,
+    EisenstatSSOROperator,
     FunctionPreconditioner,
     ICPreconditioner,
     ILUPreconditioner,

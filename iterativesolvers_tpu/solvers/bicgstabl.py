@@ -119,7 +119,16 @@ def _bicgstabl_prepare(op, b, x0, Pl, r_shadow, reltol, abstol, l, max_mv,
             resnorm_log=s.resnorm_log.at[s.k].set(residual),
         )
 
-    return state0, body, lambda s: (s.mv >= max_mv) | (s.residual <= s.tol)
+    def done(s):
+        # ~isfinite: MR-solve / rho-sigma breakdown (measured: l=4 on the
+        # 125k advection-diffusion problem in f32 NaNs mid-solve) — exit
+        # with converged=False instead of burning the whole mv budget on
+        # NaN cycles.  NaN compares false on both other clauses, so without
+        # this the loop runs to max_mv.  Scalar-only cond (CLAUDE.md rule).
+        return ((s.mv >= max_mv) | (s.residual <= s.tol)
+                | ~jnp.isfinite(s.residual))
+
+    return state0, body, done
 
 
 def _bicgstabl_core(op, b, x0, Pl, r_shadow, reltol, abstol, l, max_mv,

@@ -22,6 +22,7 @@ __all__ = [
     "advection_diffusion",
     "random_sparse",
     "sym_tridiagonal_dia",
+    "variable_diffusion",
 ]
 
 
@@ -126,3 +127,72 @@ def random_sparse(
         cols = np.concatenate([cols, d])
         vals = np.concatenate([vals, np.full(d.size, shift, dtype=dtype)])
     return CSRMatrix.from_coo(rows, cols, vals, (n, m))
+
+
+def variable_diffusion(n: int, dims: int = 3, contrast: float = 1e4,
+                       aniso=None, smooth: int = 0, seed: int = 0,
+                       dtype=np.float64) -> DIAMatrix:
+    """dims-D FD discretization of ``-div(kappa(x) grad u)`` on an n^dims
+    grid with a log-uniform random cell coefficient field — the
+    hard-spectrum fixture family preconditioners exist for (the reference's
+    preconditioning contract, docs/src/preconditioning.md:5-10; the
+    constant-coefficient fixtures above structurally cannot reward them,
+    BENCH_NOTES r4 "RB-IC economics").
+
+    * ``contrast``: kappa ranges over [1, contrast) (log-uniform).  The
+      unpreconditioned CG iteration count scales with sqrt of the effective
+      kappa contrast across neighboring cells.
+    * ``aniso``: per-axis scaling of the face transmissibilities, e.g.
+      ``(1, 1, 100)`` for a strongly coupled z-axis.
+    * ``smooth``: rounds of separable 3-point box smoothing of the
+      log-coefficient field (0 = fully rough, i.i.d. per cell; a few rounds
+      give the correlated "channelized" fields where IC-class
+      preconditioners shine).
+
+    Face coefficients are harmonic means of the adjacent cells (the
+    standard conservative FD scheme), so the matrix is SPD with the same
+    unit-step DIA structure as :func:`laplace_dia` (axis 0 = offset 1
+    fastest-varying).
+    """
+    N = n**dims
+    if aniso is None:
+        aniso = (1.0,) * dims
+    if len(aniso) != dims:
+        raise ValueError(f"aniso needs {dims} entries, got {len(aniso)}")
+    rng = np.random.default_rng(seed)
+    # numpy shape (n,..,n) with C-order ravel => LAST axis fastest; grid
+    # axis k (DIA stride n^k) is numpy axis dims-1-k
+    lk = rng.random((n,) * dims)
+    for _ in range(smooth):
+        for ax in range(dims):
+            lk = (np.roll(lk, 1, axis=ax) + lk + np.roll(lk, -1, axis=ax)) / 3
+    kappa = np.exp(np.log(contrast) * lk).astype(np.float64)
+
+    offsets = sorted({n**k for k in range(dims)} | {-(n**k) for k in range(dims)} | {0})
+    data = {o: np.zeros(N, np.float64) for o in offsets}
+    for k in range(dims):
+        ax = dims - 1 - k
+        s = n**k
+        kl = kappa
+        kr = np.roll(kappa, -1, axis=ax)  # neighbor at +1 along grid axis k
+        t = 2.0 * kl * kr / (kl + kr) * float(aniso[k])
+        # zero the face past the boundary (pos == n-1 along this axis)
+        hi = [slice(None)] * dims
+        hi[ax] = n - 1
+        lo = [slice(None)] * dims
+        lo[ax] = 0
+        t[tuple(hi)] = 0.0
+        tf = t.ravel()
+        data[s] -= tf                      # A[i, i+s]
+        data[-s] -= np.roll(tf, s)         # A[i, i-s] = A[i-s, i] (0-pad ok:
+        # rolled-in entries land at pos==0 rows whose -s column is off-grid
+        # and tf there is the zeroed boundary face)
+        # diagonal: interior faces on both sides plus the DIRICHLET boundary
+        # faces (ghost cell at the wall, same kappa) — without these the row
+        # sums are zero and the operator is the singular Neumann one
+        bnd = np.zeros_like(t)
+        bnd[tuple(hi)] += kappa[tuple(hi)] * float(aniso[k])
+        bnd[tuple(lo)] += kappa[tuple(lo)] * float(aniso[k])
+        data[0] += tf + np.roll(tf, s) + bnd.ravel()
+    arr = np.stack([data[o] for o in offsets]).astype(dtype)
+    return DIAMatrix(arr, tuple(offsets), (N, N))

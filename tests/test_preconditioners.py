@@ -286,3 +286,141 @@ def test_redblack_ic_guards():
             advection_diffusion_stencil(8, dtype=np.float64))
     with pytest.raises(TypeError):
         RedBlackICPreconditioner.from_stencil(laplace_dia(8, 2))
+
+
+def test_redblack_ic_from_dia_variable_coeff_exact_vs_native():
+    """The variable-coefficient closed form (from_dia) IS the IC(0) of the
+    RB-ordered matrix — equality with the native sequential ic0 on the
+    variable_diffusion fixture (per-row centers exercise the
+    neighbor-center pivot term), odd AND even sides, 2-D and 3-D."""
+    from iterativesolvers_tpu.operators.preconditioners import (
+        ICPreconditioner,
+        RedBlackICPreconditioner,
+    )
+    from iterativesolvers_tpu.utils.fixtures import variable_diffusion
+
+    rng = np.random.default_rng(2)
+    for side, dims, aniso in ((9, 3, (1, 1, 30)), (8, 2, None)):
+        A = variable_diffusion(side, dims, contrast=1e3, aniso=aniso,
+                               seed=3, dtype=np.float64)
+        n = A.shape[0]
+        P = RedBlackICPreconditioner.from_dia(A, side, dims)
+        csr = A.to_csr()
+        red = np.asarray(P.red)
+        perm = np.concatenate([np.where(red)[0], np.where(~red)[0]])
+        Pic = ICPreconditioner.from_operator(csr.permute(perm))
+        inv = np.empty(n, np.int64)
+        inv[perm] = np.arange(n)
+        x = rng.standard_normal(n)
+        ours = np.asarray(P.ldiv(jnp.asarray(x)))
+        ref = np.asarray(Pic.ldiv(jnp.asarray(x[perm])))[inv]
+        np.testing.assert_allclose(ours, ref, atol=1e-12, rtol=1e-12)
+
+
+def test_redblack_ic_from_dia_accelerates_cg():
+    """PCG with the variable-coefficient RB-IC cuts iterations vs
+    unpreconditioned CG on a high-contrast variable_diffusion problem."""
+    from iterativesolvers_tpu.operators.preconditioners import (
+        RedBlackICPreconditioner,
+    )
+    from iterativesolvers_tpu.utils.fixtures import variable_diffusion
+
+    side, dims = 24, 2
+    A = variable_diffusion(side, dims, contrast=1e4, seed=1,
+                           dtype=np.float64)
+    n = A.shape[0]
+    b = jnp.ones(n)
+    P = RedBlackICPreconditioner.from_dia(A, side, dims)
+    x0, h0 = its.cg(A, b, reltol=1e-8, maxiter=3000, log=True)
+    xp, hp = its.cg(A, b, Pl=P, reltol=1e-8, maxiter=3000, log=True)
+    assert h0.isconverged and hp.isconverged
+    assert hp.iters < h0.iters / 2, (hp.iters, h0.iters)
+    r = np.asarray(A.mv(xp)) - 1.0
+    assert np.linalg.norm(r) / np.sqrt(n) < 1e-6
+
+
+def test_redblack_ic_from_dia_guards():
+    from iterativesolvers_tpu.operators.preconditioners import (
+        RedBlackICPreconditioner,
+    )
+    from iterativesolvers_tpu.operators.sparse import DIAMatrix
+    from iterativesolvers_tpu.utils.fixtures import variable_diffusion
+
+    with pytest.raises(ValueError, match="side"):
+        RedBlackICPreconditioner.from_dia(
+            variable_diffusion(8, 2, dtype=np.float64), 7, 2)
+    # non-unit-step offsets rejected
+    n = 16
+    d = np.ones(n)
+    bad = DIAMatrix(np.stack([d * 4, -d, -d]), (0, 3, -3), (n, n))
+    with pytest.raises(ValueError, match="unit grid steps"):
+        RedBlackICPreconditioner.from_dia(bad, 16, 1)
+    # asymmetric values rejected
+    off = -np.arange(1, n + 1, dtype=np.float64)
+    bad2 = DIAMatrix(np.stack([np.full(n, 40.0), off,
+                               np.roll(off * 2, 1)]), (0, 1, -1), (n, n))
+    with pytest.raises(ValueError, match="not symmetric"):
+        RedBlackICPreconditioner.from_dia(bad2, 16, 1)
+
+
+def test_eisenstat_operator_algebra():
+    """Ahat == (I+E)^{-1} Atilde (I+E^T)^{-1} verified against the dense
+    algebra, and the transform pipeline solves the original system."""
+    from iterativesolvers_tpu.operators.preconditioners import (
+        EisenstatSSOROperator,
+    )
+    from iterativesolvers_tpu.utils.fixtures import variable_diffusion
+
+    side, dims = 7, 2
+    A = variable_diffusion(side, dims, contrast=100, seed=5,
+                           dtype=np.float64)
+    n = A.shape[0]
+    Ah = EisenstatSSOROperator.from_dia(A, side, dims)
+    D = np.asarray(A.to_dense())
+    s = 1.0 / np.sqrt(np.diag(D))
+    At = s[:, None] * D * s[None, :]
+    red = np.asarray(Ah.red)
+    # E = strictly-lower block in RB ordering: rows black, cols red
+    E = np.where(~red[:, None] & red[None, :], At, 0.0)
+    IE = np.eye(n) + E
+    Ahat_dense = np.linalg.solve(IE, At @ np.linalg.solve(IE.T, np.eye(n)))
+    rng = np.random.default_rng(0)
+    v = rng.standard_normal(n)
+    np.testing.assert_allclose(np.asarray(Ah.mv(jnp.asarray(v))),
+                               Ahat_dense @ v, atol=1e-11)
+    # end-to-end: transform, CG on Ahat, untransform == direct solve
+    b = rng.standard_normal(n)
+    bhat = Ah.rhs_transform(jnp.asarray(b))
+    np.testing.assert_allclose(np.asarray(bhat),
+                               np.linalg.solve(IE, s * b), atol=1e-11)
+    xhat = its.cg(Ah, bhat, reltol=1e-12, maxiter=2000)
+    x = Ah.solution_transform(xhat)
+    np.testing.assert_allclose(np.asarray(x), np.linalg.solve(D, b),
+                               rtol=1e-8, atol=1e-10)
+
+
+def test_eisenstat_cuts_iterations_vs_jacobi():
+    """CG on the Eisenstat operator converges in fewer iterations than
+    Jacobi-scaled CG (SSOR quality) on a high-contrast fixture — and each
+    iteration costs ~2 shift passes instead of SpMV + apply."""
+    from iterativesolvers_tpu.operators.preconditioners import (
+        EisenstatSSOROperator,
+    )
+    from iterativesolvers_tpu.utils.fixtures import variable_diffusion
+
+    side, dims = 24, 2
+    A = variable_diffusion(side, dims, contrast=1e4, seed=1,
+                           dtype=np.float64)
+    n = A.shape[0]
+    b = jnp.ones(n)
+    d, _ = A.diagonal()
+    _, hj = its.cg(A, b, Pl=its.DiagonalPreconditioner(d), reltol=1e-8,
+                   maxiter=3000, log=True)
+    Ah = EisenstatSSOROperator.from_dia(A, side, dims)
+    bhat = Ah.rhs_transform(b)
+    xhat, he = its.cg(Ah, bhat, reltol=1e-8, maxiter=3000, log=True)
+    x = Ah.solution_transform(xhat)
+    assert hj.isconverged and he.isconverged
+    assert he.iters < hj.iters, (he.iters, hj.iters)
+    r = np.asarray(A.mv(x)) - 1.0
+    assert np.linalg.norm(r) / np.sqrt(n) < 1e-6

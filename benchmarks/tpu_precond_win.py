@@ -9,10 +9,14 @@ variable-coefficient diffusion problem at n >= 1e6, four ways:
   eisenstat — EisenstatSSOROperator (SSOR(1) via Eisenstat's trick: the
               preconditioned matvec IS ~2 shift passes, no separate SpMV)
 
-Reports converged iterations, warm wall-clock, per-iter differential time,
-and the true relative residual for each.  Usage:
+Measurement discipline: this worker's bandwidth phase drifts ~2x within a
+session (BENCH_NOTES), so legs are timed INTERLEAVED round-robin — every
+rep runs all four legs back to back and each leg keeps its best — rather
+than sequentially (a sequential run measured eisenstat at 4.3x none
+per-iter where the same-phase solver differential shows 1.65x, matching
+its stream count).
 
-  python benchmarks/tpu_precond_win.py [side] [contrast] [smooth] [az]
+Usage:  python benchmarks/tpu_precond_win.py [side] [contrast] [smooth] [az]
 """
 
 import json
@@ -33,38 +37,6 @@ def fence(x):
     np.asarray(jnp.ravel(x)[:1])
 
 
-def run_leg(tag, solve, A_true, b, maxiter):
-    x, h = solve(b, maxiter, True)
-    fence(x)
-    best = float("inf")
-    for r in range(3):
-        bb = b + jnp.float32(1e-6 * (r + 1))
-        t0 = time.perf_counter()
-        x, _ = solve(bb, maxiter, False)
-        fence(x)
-        best = min(best, time.perf_counter() - t0)
-    # per-iteration via differential: re-run at maxiter/2 (unconverged cut)
-    it = int(h.iters)
-    per_iter_us = None
-    if it >= 40:
-        cut = it // 2
-        t_short = float("inf")
-        for r in range(2):
-            bb = b + jnp.float32(1e-5 * (r + 1))
-            t0 = time.perf_counter()
-            xs, _ = solve(bb, cut, False)
-            fence(xs)
-            t_short = min(t_short, time.perf_counter() - t0)
-        per_iter_us = 1e6 * (best - t_short) / (it - cut)
-    rel = float(jnp.linalg.norm(b - A_true.mv(x)) / jnp.linalg.norm(b))
-    row = dict(iters=it, conv=bool(h.isconverged),
-               warm_wall_s=round(best, 4),
-               per_iter_us=(round(per_iter_us, 1) if per_iter_us else None),
-               rel_resid=round(rel, 8))
-    print(json.dumps({"leg": tag, **row}), flush=True)
-    return row
-
-
 def main():
     side = int(sys.argv[1]) if len(sys.argv) > 1 else 128
     contrast = float(sys.argv[2]) if len(sys.argv) > 2 else 1e4
@@ -82,30 +54,73 @@ def main():
     Prb = its.RedBlackICPreconditioner.from_dia(A, side, 3)
     Ah = its.EisenstatSSOROperator.from_dia(A, side, 3)
 
-    def mk(kw):
+    # chunk: run_chunked granularity — expensive iterations (rbic apply,
+    # eisenstat passes) waste chunk/2 masked overshoot iterations at the
+    # 256 default (measured: eisenstat converged wall 1.14 s at chunk=256
+    # vs 0.71 s at 64); cheap ones want big chunks for the sequencer sync
+    def mk(kw, chunk):
         def solve(bb, mi, log):
-            return (its.cg(A, bb, reltol=reltol, maxiter=mi, log=True, **kw)
-                    if log else
-                    (its.cg(A, bb, reltol=reltol, maxiter=mi, **kw), None))
+            if log:
+                return its.cg(A, bb, reltol=reltol, maxiter=mi, log=True,
+                              chunk=chunk, **kw)
+            return its.cg(A, bb, reltol=reltol, maxiter=mi, chunk=chunk,
+                          **kw), None
         return solve
 
-    def eis_solve(bb, mi, log):
+    def eis_solve(bb, mi, log, chunk=32):
         bhat = Ah.rhs_transform(bb)
         if log:
-            xh, h = its.cg(Ah, bhat, reltol=reltol, maxiter=mi, log=True)
+            xh, h = its.cg(Ah, bhat, reltol=reltol, maxiter=mi, log=True,
+                           chunk=chunk)
             return Ah.solution_transform(xh), h
-        xh = its.cg(Ah, bhat, reltol=reltol, maxiter=mi)
-        return Ah.solution_transform(xh), None
+        return Ah.solution_transform(
+            its.cg(Ah, bhat, reltol=reltol, maxiter=mi, chunk=chunk)), None
 
+    legs = [("none", mk({}, 256)), ("jacobi", mk({"Pl": Pj}, 256)),
+            ("rbic", mk({"Pl": Prb}, 32)), ("eisenstat", eis_solve)]
+
+    # converged solves (also warms every cache) + true residuals
     rows = {}
-    rows["none"] = run_leg("none", mk({}), A, b, 20000)
-    rows["jacobi"] = run_leg("jacobi", mk({"Pl": Pj}), A, b, 20000)
-    rows["rbic"] = run_leg("rbic", mk({"Pl": Prb}), A, b, 20000)
-    rows["eisenstat"] = run_leg("eisenstat", eis_solve, A, b, 20000)
+    for tag, solve in legs:
+        x, h = solve(b, 20000, True)
+        fence(x)
+        rel = float(jnp.linalg.norm(b - A.mv(x)) / jnp.linalg.norm(b))
+        rows[tag] = dict(iters=int(h.iters), conv=bool(h.isconverged),
+                         rel_resid=round(rel, 8))
+    # warm the half-length cuts for the per-iter differentials
+    cuts = {tag: max(rows[tag]["iters"] // 2, 1) for tag, _ in legs}
+    for tag, solve in legs:
+        x, _ = solve(b, cuts[tag], False)
+        fence(x)
+
+    # interleaved timing: each rep runs every leg's (full, cut) pair
+    walls = {tag: float("inf") for tag, _ in legs}
+    shorts = {tag: float("inf") for tag, _ in legs}
+    for r in range(3):
+        bb = b + jnp.float32(1e-6 * (r + 1))
+        for tag, solve in legs:
+            t0 = time.perf_counter()
+            x, _ = solve(bb, 20000, False)
+            fence(x)
+            walls[tag] = min(walls[tag], time.perf_counter() - t0)
+            t0 = time.perf_counter()
+            x, _ = solve(bb, cuts[tag], False)
+            fence(x)
+            shorts[tag] = min(shorts[tag], time.perf_counter() - t0)
+
+    for tag, _ in legs:
+        it = rows[tag]["iters"]
+        diff_iters = it - cuts[tag]
+        per = (1e6 * (walls[tag] - shorts[tag]) / diff_iters
+               if diff_iters >= 20 else None)
+        rows[tag].update(warm_wall_s=round(walls[tag], 4),
+                         per_iter_us=(round(per, 1) if per else None))
+        print(json.dumps({"leg": tag, **rows[tag]}), flush=True)
     base = rows["none"]["warm_wall_s"]
     print(json.dumps({"summary": {
-        k: dict(speedup_vs_none=round(base / v["warm_wall_s"], 2),
-                iters=v["iters"]) for k, v in rows.items()}}), flush=True)
+        tag: dict(speedup_vs_none=round(base / v["warm_wall_s"], 2),
+                  iters=v["iters"]) for tag, v in rows.items()}}),
+        flush=True)
 
 
 if __name__ == "__main__":

@@ -482,7 +482,12 @@ class ELLMatrix(LinearOperator):
         return jnp.sum(d * g, axis=1)
 
     def mv_rows(self, Xr):
-        return jax.vmap(self.mv)(Xr)
+        # ONE k-wide gather instead of k one-wide gathers: gather cost on
+        # this part is ~8 ns per INDEX regardless of the fetched row width
+        # (BENCH_NOTES r4 forensics), so gathering from the (n, k) layout
+        # amortizes the dominant SpMV cost k-fold.  The two transposes are
+        # bandwidth-trivial next to the index stream.
+        return self.mv(Xr.T).T
 
     def rmv(self, x):
         if self.adj is not None:
@@ -586,7 +591,8 @@ class HYBMatrix(LinearOperator):
         )
 
     def mv_rows(self, Xr):
-        return jax.vmap(self.mv)(Xr)
+        # k-wide amortized gather, see ELLMatrix.mv_rows
+        return self.mv(Xr.T).T
 
     def rmv(self, x):
         if self.adj is not None:

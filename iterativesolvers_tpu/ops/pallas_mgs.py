@@ -46,6 +46,8 @@ __all__ = ["panel_mgs", "panel_mgs_plan", "mgs_pad", "mgs_row_shape"]
 
 # Tests flip this to run the kernel through the Pallas interpreter on CPU.
 _INTERPRET = False
+# Test/bench hook: force a sweep variant ("rowbuf" | "chunk" | None = auto).
+_FORCE_MODE = None
 
 _LANES = 512
 _CROWS = 512                    # chunk = (512, 512) f32 = 1 MB
@@ -63,7 +65,14 @@ def panel_mgs_plan(n: int, dtype, panel_dtype=None) -> dict | None:
 
     ``panel_dtype`` is the storage dtype of the Krylov panel — float32
     (default) or bfloat16 (the mixed-precision GMRES-IR mode: halves the
-    panel's HBM traffic; all arithmetic stays f32 in VMEM)."""
+    panel's HBM traffic; all arithmetic stays f32 in VMEM).
+
+    ``mode``: ``"rowbuf"`` when a whole panel row fits VMEM next to the
+    aliased resident w — the SINGLE-PASS sweep (each row's chunk is read
+    from HBM once; dot and axpy both run from the VMEM row buffer), which
+    halves the panel traffic of the two-pass ``"chunk"`` fallback.  The
+    r4 profile put orthogonalization at 46% of the GMRES iteration with
+    panel streaming as its bulk — this is the round-5 attack on it."""
     if dtype != jnp.float32:
         return None
     pd = jnp.dtype(panel_dtype or jnp.float32)
@@ -73,10 +82,17 @@ def panel_mgs_plan(n: int, dtype, panel_dtype=None) -> dict | None:
     if n < 4 * _CHUNK:
         return None
     n_pad = _round_up(n, _CHUNK)
-    # resident: w input block + y output block (f32) + 2 panel-chunk buffers
-    if 2 * 4 * n_pad + 2 * pd.itemsize * _CHUNK > _VMEM_BUDGET:
+    # rowbuf: resident w output block (f32) + 2 full-row buffers
+    if 4 * n_pad + 2 * pd.itemsize * n_pad <= _VMEM_BUDGET:
+        mode = "rowbuf"
+    # chunk: w input block + y output block (f32) + 2 panel-chunk buffers
+    elif 2 * 4 * n_pad + 2 * pd.itemsize * _CHUNK <= _VMEM_BUDGET:
+        mode = "chunk"
+    else:
         return None
-    return {"n": n, "n_pad": n_pad, "nc": n_pad // _CHUNK}
+    if _FORCE_MODE is not None:
+        mode = _FORCE_MODE
+    return {"n": n, "n_pad": n_pad, "nc": n_pad // _CHUNK, "mode": mode}
 
 
 def mgs_pad(n: int) -> int:
@@ -167,6 +183,114 @@ def _kernel(n, n_pad, nc, m1,
         nrm_ref[0, 0] = nrm
 
 
+def _kernel_rowbuf(n, n_pad, nc, m1,
+                   k_ref, w_ref, panel, y_ref, h_ref, nrm_ref,
+                   bufA, bufB, acc, semw, sem):
+    """SINGLE-PASS sweep: each panel row is DMA'd to VMEM once (double-
+    buffered full rows) and both the dot and the axpy read it from VMEM —
+    half the HBM panel traffic of ``_kernel``'s two-pass chunk pipeline.
+    Requires a full row + the resident w to fit VMEM (plan mode 'rowbuf');
+    the bf16-panel GMRES-IR hot path at 216^3 is 2 x 20.4 MB row buffers +
+    40.9 MB w."""
+    j = pl.program_id(0)
+    nrows = n_pad // _LANES
+
+    def row_dma(row, buf, slot):
+        return pltpu.make_async_copy(
+            panel.at[pl.ds(row * nrows, nrows), :], buf, sem.at[slot])
+
+    @pl.when(j == 0)
+    def _():
+        # seed the resident w from HBM and kick off row 0's DMA
+        cp = pltpu.make_async_copy(w_ref, y_ref, semw)
+        cp.start()
+        row_dma(0, bufA, 0).start()
+        cp.wait()
+
+    active = j <= k_ref[0]
+
+    @pl.when(jnp.logical_not(active))
+    def _():
+        h_ref[j] = jnp.zeros((), h_ref.dtype)
+
+    def body(cur, cur_slot, nxt, nxt_slot):
+        # prefetch the next active row before blocking on the current one
+        @pl.when(j + 1 <= k_ref[0])
+        def _():
+            row_dma(j + 1, nxt, nxt_slot).start()
+        row_wait = pltpu.make_async_copy(
+            panel.at[pl.ds(j * nrows, nrows), :], cur, sem.at[cur_slot])
+        row_wait.wait()
+        acc[...] = jnp.zeros_like(acc)
+        for ci in range(nc):
+            sl = pl.ds(ci * _CROWS, _CROWS)
+            acc[...] += jnp.sum(cur[sl, :].astype(acc.dtype) * y_ref[sl, :],
+                                axis=0, keepdims=True)
+        hj = jnp.sum(acc[...])
+        h_ref[j] = hj
+        for ci in range(nc):
+            sl = pl.ds(ci * _CROWS, _CROWS)
+            y_ref[sl, :] = y_ref[sl, :] - hj * cur[sl, :].astype(y_ref.dtype)
+
+    even = (j % 2) == 0
+
+    @pl.when(active & even)
+    def _():
+        body(bufA, 0, bufB, 1)
+
+    @pl.when(active & jnp.logical_not(even))
+    def _():
+        body(bufB, 1, bufA, 0)
+
+    @pl.when(j == m1 - 1)
+    def _():
+        acc[...] = jnp.zeros_like(acc)
+        for ci in range(nc):
+            v = y_ref[pl.ds(ci * _CROWS, _CROWS), :]
+            acc[...] += jnp.sum(v * v, axis=0, keepdims=True)
+        nrm = jnp.sqrt(jnp.sum(acc[...]))
+        inv = jnp.where(nrm == 0, 1.0, 1.0 / nrm).astype(y_ref.dtype)
+        for ci in range(nc):
+            sl = pl.ds(ci * _CROWS, _CROWS)
+            y_ref[sl, :] = y_ref[sl, :] * inv
+        nrm_ref[0, 0] = nrm
+
+
+def _panel_mgs_rowbuf(plan, w2d, panel2d, k, m1, interpret):
+    n, n_pad, nc = plan["n"], plan["n_pad"], plan["nc"]
+    nrows = n_pad // _LANES
+    kern = partial(_kernel_rowbuf, n, n_pad, nc, m1)
+    y, h, nrm = pl.pallas_call(
+        kern,
+        grid=(m1,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # k scalar
+            pl.BlockSpec(memory_space=pl.ANY),       # w stays in HBM
+            pl.BlockSpec(memory_space=pl.ANY),       # panel in HBM
+        ],
+        out_specs=[
+            pl.BlockSpec((nrows, _LANES), lambda j: (0, 0)),  # resident w
+            pl.BlockSpec((m1,), lambda j: (0,), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1), lambda j: (0, 0), memory_space=pltpu.SMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((nrows, _LANES), w2d.dtype),
+            jax.ShapeDtypeStruct((m1,), w2d.dtype),
+            jax.ShapeDtypeStruct((1, 1), w2d.dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((nrows, _LANES), panel2d.dtype),   # row buffer A
+            pltpu.VMEM((nrows, _LANES), panel2d.dtype),   # row buffer B
+            pltpu.VMEM((1, _LANES), w2d.dtype),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=110 * 2**20),
+        interpret=interpret,
+    )(jnp.asarray(k, jnp.int32).reshape(1), w2d, panel2d)
+    return y, h, nrm[0, 0]
+
+
 def panel_mgs(V, w, k, m1: int, *, n: int | None = None,
               interpret: bool | None = None):
     """Orthogonalize w against rows 0..k of the padded row panel and
@@ -208,6 +332,9 @@ def panel_mgs(V, w, k, m1: int, *, n: int | None = None,
         w2d = jnp.zeros((n_pad,), w.dtype).at[:n].set(w).reshape(-1, _LANES)
     assert V.size == m1 * n_pad, (V.shape, m1, n_pad)
     panel2d = V.reshape(m1 * (n_pad // _LANES), _LANES)
+
+    if plan["mode"] == "rowbuf":
+        return _panel_mgs_rowbuf(plan, w2d, panel2d, k, m1, interpret)
 
     kern = partial(_kernel, n, n_pad, nc, m1)
     nrows = n_pad // _LANES

@@ -104,14 +104,17 @@ def _cg_done(state: CGState, maxiter: int):
     return (state.k >= maxiter) | (state.residual <= state.tol)
 
 
-@partial(jax.jit, static_argnames=("maxiter", "initially_zero", "verbose"))
+@partial(jax.jit, static_argnames=("maxiter", "initially_zero", "verbose",
+                                   "chunk"))
 @with_highest_precision
-def _cg_solve(op, b, x0, Pl, reltol, abstol, maxiter, initially_zero, verbose):
+def _cg_solve(op, b, x0, Pl, reltol, abstol, maxiter, initially_zero, verbose,
+              chunk=256):
     state0 = _cg_init(op, b, x0, reltol, abstol, maxiter, initially_zero)
     final = run_chunked(
         lambda s: _cg_step(op, Pl, s, verbose, maxiter),
         lambda s: _cg_done(s, maxiter),
         state0,
+        chunk=chunk,
     )
     return SolveResult(
         x=final.x,
@@ -133,6 +136,7 @@ def cg(
     maxiter: int | None = None,
     log: bool = False,
     verbose: bool = False,
+    chunk: int = 256,
 ):
     """Solve A x = b with (preconditioned) conjugate gradients.
 
@@ -143,6 +147,14 @@ def cg(
     The reference's ``CGStateVariables`` scratch-buffer reuse (src/cg.jl:
     114-124) has no functional analogue: XLA buffer-donates the loop carry,
     so repeated solves already reuse device memory.
+
+    ``chunk``: convergence-check granularity of the masked chunked loop
+    (see ``common.run_chunked``).  The default 256 amortizes the ~1.5 ms
+    data-dependent-cond sequencer sync for cheap iterations (~66 us on the
+    2M-row Laplacian); a solve whose per-iteration cost is many hundreds
+    of us (heavy preconditioner, Eisenstat operator) wastes up to chunk/2
+    masked iterations of overshoot — pass a smaller chunk (e.g. 32-64)
+    there.  Numerics are identical at any value.
     """
     op = as_operator(A, b)
     Pl = as_preconditioner(Pl)
@@ -153,7 +165,8 @@ def cg(
         x0 = jnp.zeros(op.shape[1], dtype=solve_dtype(op.dtype, b.dtype))
     reltol_, abstol_ = resolve_tols(solve_dtype(op.dtype, b.dtype), reltol, abstol)
     res = _cg_solve(
-        op, b, jnp.asarray(x0), Pl, reltol_, abstol_, maxiter, initially_zero, verbose
+        op, b, jnp.asarray(x0), Pl, reltol_, abstol_, maxiter, initially_zero,
+        verbose, chunk=int(chunk)
     )
     if not log:
         return res.x

@@ -4,6 +4,7 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+import iterativesolvers_tpu as its
 from iterativesolvers_tpu import (
     DiagonalPreconditioner,
     DensePreconditioner,
@@ -164,3 +165,64 @@ def test_baseline_config1_laplace64():
     assert 64 <= h.iters <= 400
     r = np.asarray(A.mv(jnp.asarray(x))) - b
     assert np.linalg.norm(r) / np.linalg.norm(b) < 1e-7
+
+
+def test_block_cg_matches_columnwise_cg():
+    """Batched multi-RHS CG == looping cg over columns (same recurrence
+    per column, per-column convergence masking)."""
+    from iterativesolvers_tpu.utils.fixtures import laplace_dia
+
+    A = laplace_dia(12, 2)
+    n = A.shape[0]
+    rng = np.random.default_rng(3)
+    B = jnp.asarray(rng.standard_normal((n, 5)))
+    X, h = its.block_cg(A, B, reltol=1e-10, maxiter=600, log=True)
+    assert h.isconverged
+    assert h.data["converged_per_rhs"].all()
+    for i in range(5):
+        xi = its.cg(A, B[:, i], reltol=1e-10, maxiter=600)
+        np.testing.assert_allclose(np.asarray(X[:, i]), np.asarray(xi),
+                                   atol=1e-8)
+    r = np.asarray(A.mv_rows(jnp.asarray(X).T)).T - np.asarray(B)
+    assert np.linalg.norm(r) / np.linalg.norm(np.asarray(B)) < 1e-9
+
+
+def test_block_cg_per_column_freeze_and_formats():
+    """Columns with very different conditioning: the easy column freezes
+    exactly at its own convergence; ELL/HYB mv_rows (the k-wide amortized
+    gather) agree with the DIA solve."""
+    from iterativesolvers_tpu.utils.fixtures import laplace_dia
+
+    A = laplace_dia(10, 2)
+    n = A.shape[0]
+    rng = np.random.default_rng(4)
+    # column 0: b = A e -> converges in few iters; column 1: random
+    e = np.zeros(n); e[n // 2] = 1.0
+    B = jnp.asarray(np.stack([np.asarray(A.mv(jnp.asarray(e))),
+                              rng.standard_normal(n)], axis=1))
+    X = its.block_cg(A, B, reltol=1e-12, maxiter=500)
+    np.testing.assert_allclose(np.asarray(X[:, 0]), e, atol=1e-9)
+    csr = A.to_csr()
+    for op in (csr.to_ell(), csr.to_hyb()):
+        Xe = its.block_cg(op, B, reltol=1e-12, maxiter=500)
+        np.testing.assert_allclose(np.asarray(Xe), np.asarray(X), atol=1e-8)
+
+
+def test_block_cg_preconditioned():
+    from iterativesolvers_tpu.utils.fixtures import variable_diffusion
+
+    side = 12
+    A = variable_diffusion(side, 2, contrast=1e3, seed=2, dtype=np.float64)
+    n = A.shape[0]
+    d, _ = A.diagonal()
+    B = jnp.asarray(np.random.default_rng(5).standard_normal((n, 3)))
+    X, h = its.block_cg(A, B, Pl=its.DiagonalPreconditioner(jnp.asarray(d)),
+                        reltol=1e-10, maxiter=2000, log=True)
+    assert h.isconverged
+    r = np.asarray(A.mv_rows(jnp.asarray(X).T)).T - np.asarray(B)
+    assert np.linalg.norm(r) / np.linalg.norm(np.asarray(B)) < 1e-8
+
+
+def test_block_cg_rejects_vector():
+    with pytest.raises(ValueError, match="shape"):
+        its.block_cg(jnp.eye(4), jnp.ones(4))

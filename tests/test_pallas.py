@@ -541,3 +541,33 @@ def test_gmres_panel_mv_integration(monkeypatch):
     r = float(jnp.linalg.norm(b - St.mv(x)) / jnp.linalg.norm(b))
     r_ref = float(jnp.linalg.norm(b - St.mv(x_ref)) / jnp.linalg.norm(b))
     assert r <= 1.1 * r_ref + 1e-6
+
+
+def test_panel_mgs_modes_agree():
+    """The single-pass rowbuf sweep (round 5: half the panel HBM traffic)
+    and the two-pass chunk sweep produce identical results."""
+    import iterativesolvers_tpu.ops.pallas_mgs as pm
+    from iterativesolvers_tpu.ops.pallas_mgs import mgs_pad, panel_mgs
+
+    n, m1, k = 4 * 262144 + 3000, 6, 3
+    n_pad = mgs_pad(n)
+    r = np.random.default_rng(7)
+    V = np.zeros((m1, n_pad), np.float32)
+    Q, _ = np.linalg.qr(r.standard_normal((n, k + 1)).astype(np.float32))
+    V[: k + 1, :n] = Q.T
+    w = r.standard_normal(n).astype(np.float32)
+    outs = {}
+    for mode in ("rowbuf", "chunk"):
+        old = pm._FORCE_MODE
+        pm._FORCE_MODE = mode
+        try:
+            assert pm.panel_mgs_plan(n, jnp.float32)["mode"] == mode
+            y, h, nrm = panel_mgs(jnp.asarray(V.reshape(-1)),
+                                  jnp.asarray(w), jnp.int32(k), m1,
+                                  interpret=True)
+        finally:
+            pm._FORCE_MODE = old
+        outs[mode] = (np.asarray(y).reshape(-1), np.asarray(h), float(nrm))
+    np.testing.assert_array_equal(outs["rowbuf"][0], outs["chunk"][0])
+    np.testing.assert_array_equal(outs["rowbuf"][1], outs["chunk"][1])
+    assert outs["rowbuf"][2] == outs["chunk"][2]

@@ -265,14 +265,21 @@ def main():
 
     # GMRES-specific roofline: unlike CG, each Arnoldi step also streams the
     # Krylov panel through MGS.  Per m-cycle, averaged per iteration:
-    #   MGS sweeps rows 0..k twice (dot + axpy passes, VMEM-resident w):
-    #     2*sum_{k=0}^{m-1}(k+1)/m = m+1 panel-row passes
+    #   MGS panel-row passes: the single-pass 'rowbuf' kernel (round 5)
+    #     streams rows 0..k ONCE (dot and axpy both read the VMEM row
+    #     buffer): sum_{k=0}^{m-1}(k+1)/m = (m+1)/2 passes; the two-pass
+    #     'chunk' fallback streams each row twice: m+1 passes
     #   + w seed read + normalized w write + V row write       (3 passes)
     #   + stencil SpMV: read v, write w                        (2 passes)
     #   + finalize per cycle: panel read for x update + fresh-cycle
     #     residual SpMV and norm                               (~1.2 passes)
+    from iterativesolvers_tpu.ops.pallas_mgs import panel_mgs_plan
+
     m_r = 20
-    g_passes = (m_r + 1) + 3 + 2 + 1.2
+    _gplan = panel_mgs_plan(n, jnp.float32, jnp.bfloat16)
+    _rowbuf = bool(_gplan) and _gplan["mode"] == "rowbuf"
+    row_passes = (m_r + 1) / 2 if _rowbuf else (m_r + 1)
+    g_passes = row_passes + 3 + 2 + 1.2
     g_roofline_iter_time = g_passes * 4 * n / bw
     g_frac = g_roofline_iter_time / g_iter_time
     g_target_nnz_s = 0.70 * nnz / g_roofline_iter_time
@@ -281,7 +288,7 @@ def main():
     # operator path's true matrix stream in the SpMV passes
     _g_diag_b = {"stencil_pallas": 0, "stored_dia_xla": 7 * 4,
                  "stored_dia_bf16_xla": 7 * 2, "stored_dia_int8_xla": 7 * 1}
-    g_bytes_true = (((m_r + 1) + 3) * 2 * n          # panel passes, bf16
+    g_bytes_true = ((row_passes + 3) * 2 * n         # panel passes, bf16
                     + (2 * 4 + _g_diag_b[g_op_winner]) * n   # SpMV passes
                     + 1.2 * 4 * n)                    # finalize passes, f32
     g_frac_true = (g_bytes_true / bw) / g_iter_time
@@ -330,11 +337,13 @@ def main():
             "orthogonalization_share": round(orth_share, 3),
             "frac_hbm_roofline": round(g_frac, 4),
             "frac_hbm_roofline_bytes_true": round(g_frac_true, 4),
-            "note": "GMRES roofline includes the m+1 Krylov-panel passes "
-                    "MGS must stream per iteration, charged at f32 width "
-                    "(model in bench.py); the headline runs the library "
-                    "default bf16-panel GMRES-IR (halves panel bytes, "
-                    "accuracy decided on the true f32 residual each "
+            "panel_mgs_mode": "rowbuf" if _rowbuf else "chunk",
+            "note": "GMRES roofline includes the Krylov-panel passes MGS "
+                    "must stream per iteration ((m+1)/2 on the single-pass "
+                    "rowbuf kernel, m+1 on the two-pass fallback), charged "
+                    "at f32 width (model in bench.py); the headline runs "
+                    "the library default bf16-panel GMRES-IR (halves panel "
+                    "bytes, accuracy decided on the true f32 residual each "
                     "restart) on the Pallas panel-MGS kernel",
         },
     }), flush=True)

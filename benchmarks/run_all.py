@@ -423,6 +423,170 @@ def bench_svdl():
                             max_rel_err_vs_scipy=round(err, 8)))
 
 
+def bench_precond_win_2m():
+    """Preconditioned CG beating unpreconditioned wall-clock at n >= 1e6
+    (VERDICT r4 item 1): 128^3 = 2.1M-row variable-coefficient diffusion
+    (contrast 1e4, smoothed field), none vs jacobi vs Eisenstat-SSOR.
+    Legs timed interleaved (worker bandwidth phase drifts in-session).
+    The full economics table incl. RB-IC and the 216^3 scale lives in
+    benchmarks/tpu_precond_win.py / BENCH_NOTES round 5."""
+    import jax.numpy as jnp
+
+    import iterativesolvers_tpu as its
+    from iterativesolvers_tpu.utils.fixtures import variable_diffusion
+
+    side = 128
+    A = variable_diffusion(side, 3, contrast=1e4, smooth=2, seed=7,
+                           dtype=np.float32)
+    n = A.shape[0]
+    b = jnp.ones((n,), jnp.float32)
+    d, _ = A.diagonal()
+    Ah = its.EisenstatSSOROperator.from_dia(A, side, 3)
+
+    def s_none(bb, log=False):
+        return its.cg(A, bb, reltol=1e-5, maxiter=20000, log=log)
+
+    def s_jac(bb, log=False):
+        return its.cg(A, bb, Pl=its.DiagonalPreconditioner(d), reltol=1e-5,
+                      maxiter=20000, log=log)
+
+    def s_eis(bb, log=False):
+        bh = Ah.rhs_transform(bb)
+        if log:
+            xh, h = its.cg(Ah, bh, reltol=1e-5, maxiter=20000, chunk=32,
+                           log=True)
+            return Ah.solution_transform(xh), h
+        return Ah.solution_transform(
+            its.cg(Ah, bh, reltol=1e-5, maxiter=20000, chunk=32))
+
+    legs = (("none", s_none), ("jacobi", s_jac), ("eisenstat", s_eis))
+    detail = {}
+    for tag, s in legs:
+        x, h = s(b, log=True)
+        _fence(x)
+        rel = _resid(A, x, b)
+        detail[tag] = dict(iters=int(h.iters),
+                           conv=bool(h.isconverged) and rel <= 1e-2,
+                           rel_resid=round(rel, 8))
+    walls = {tag: float("inf") for tag, _ in legs}
+    for r in range(3):
+        bb = _shift(b, r)
+        for tag, s in legs:
+            t0 = time.perf_counter()
+            x = s(bb)
+            _fence(x)
+            walls[tag] = min(walls[tag], time.perf_counter() - t0)
+    for tag, _ in legs:
+        detail[tag]["wall_s"] = round(walls[tag], 4)
+        detail[tag]["speedup_vs_none"] = round(
+            walls["none"] / walls[tag], 2)
+    win = walls["eisenstat"] < walls["none"]
+    return dict(wall_s=walls["eisenstat"],
+                iters=detail["eisenstat"]["iters"],
+                converged=all(v["conv"] for v in detail.values()) and win,
+                detail=detail)
+
+
+def bench_svdl_stored_500k():
+    """Stored-format svdl at benchmark scale (VERDICT r4 item 8): 600k x
+    400k rectangular BSR(8) matrix on an unstructured block graph (28.8M
+    nnz).  The r4 gather forensics showed sustained 1M-scale per-element
+    gathers (ELL svdl) CRASH this TPU worker; BSR is the untried lever —
+    blocking reduces the index count b^2 = 64-fold (450k block gathers per
+    SpMV), far below the fault regime, while the block matmuls ride the
+    MXU.  Ritz values cross-checked against scipy svds (f64 CPU)."""
+    import jax
+    import jax.numpy as jnp
+
+    import iterativesolvers_tpu as its
+    from iterativesolvers_tpu.operators.sparse import BSRMatrix
+
+    rng = np.random.default_rng(11)
+    bs = 8
+    nbr, nbc, deg = 75_000, 50_000, 6     # 600k x 400k, 450k blocks
+    br = np.repeat(np.arange(nbr, dtype=np.int64), deg)
+    bc = rng.integers(0, nbc, size=nbr * deg).astype(np.int64)
+    keys = np.unique(br * nbc + bc)
+    br, bc = keys // nbc, keys % nbc
+    blocks = (rng.standard_normal((br.size, bs, bs)) / np.sqrt(deg * bs)
+              ).astype(np.float32)
+    A = BSRMatrix(blocks, bc, br, (nbr * bs, nbc * bs))
+    t0 = time.perf_counter()
+    vals, L, h = its.svdl(A, nsv=6, tol=1e-3, maxiter=40,
+                          key=jax.random.PRNGKey(2), log=True)
+    _fence(vals)
+    t_cold = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    vals, L, h = its.svdl(A, nsv=6, tol=1e-3, maxiter=40,
+                          key=jax.random.PRNGKey(3), log=True)
+    _fence(vals)
+    t = time.perf_counter() - t0
+
+    from scipy.sparse import bsr_matrix
+    from scipy.sparse.linalg import svds
+
+    indptr = np.zeros(nbr + 1, np.int64)
+    np.add.at(indptr, br + 1, 1)
+    sp = bsr_matrix((blocks.astype(np.float64), bc, np.cumsum(indptr)),
+                    shape=A.shape)
+    sref = np.sort(svds(sp, k=6, return_singular_vectors=False))[::-1]
+    err = float(np.max(np.abs(np.asarray(vals, np.float64) - sref) / sref))
+    return dict(wall_s=t, iters=int(h.iters),
+                converged=bool(h.isconverged) and err <= 2e-3,
+                detail=dict(rows=nbr * bs, cols=nbc * bs,
+                            nnz_stored=int(blocks.size),
+                            gather_indices_per_spmv=int(br.size),
+                            wall_s_cold=round(t_cold, 3),
+                            sv1=round(float(vals[0]), 6),
+                            max_rel_err_vs_scipy=round(err, 8)))
+
+
+def bench_matrixmarket_big_io():
+    """~50 MB MatrixMarket round-trip at 1M rows (VERDICT r4 item 8:
+    bigger generated corpus): write the 9-band variable-coefficient FD
+    matrix (1024^2 rows, ~9.4M nnz) to .mtx once, parse it with the native
+    C++ reader, auto_format (expect DIA), and CG-solve."""
+    import jax.numpy as jnp
+
+    import iterativesolvers_tpu as its
+    from iterativesolvers_tpu.utils.fixtures import variable_diffusion
+
+    side = 1024
+    A0 = variable_diffusion(side, 2, contrast=100.0, smooth=1, seed=3,
+                            dtype=np.float32)
+    path = "/tmp/its_big_vc.mtx"
+    csr = A0.to_csr()
+    rows = np.asarray(csr._host("row_ids")) + 1
+    cols = np.asarray(csr._host("indices")) + 1
+    vals = np.asarray(csr._host("data"))
+    t0 = time.perf_counter()
+    with open(path, "w") as f:
+        f.write("%%MatrixMarket matrix coordinate real general\n")
+        f.write(f"{A0.shape[0]} {A0.shape[1]} {vals.size}\n")
+        np.savetxt(f, np.column_stack([rows, cols, vals]),
+                   fmt="%d %d %.8g")
+    t_write = time.perf_counter() - t0
+    sz_mb = os.path.getsize(path) / 2**20
+    t0 = time.perf_counter()
+    M = its.load_matrix_market(path, dtype=np.float32)
+    t_parse = time.perf_counter() - t0
+    op, perm = M.auto_format()
+    fmt = type(op).__name__
+    n = M.shape[0]
+    b = jnp.ones((n,), jnp.float32)
+    x, h = its.cg(op, b, reltol=1e-5, maxiter=2000, log=True)
+    rel = _resid(op, x, b)
+    t, _ = _timeit(lambda r: its.cg(op, _shift(b, r), reltol=1e-5,
+                                    maxiter=2000), reps=2)
+    return dict(wall_s=t, iters=h.iters,
+                converged=bool(h.isconverged) and rel <= 1e-2,
+                detail=dict(mtx_mb=round(sz_mb, 1), nnz=int(vals.size),
+                            parse_s=round(t_parse, 2),
+                            write_s=round(t_write, 2),
+                            picked=fmt, rcm=perm is not None,
+                            rel_resid=round(rel, 8)))
+
+
 def bench_hessenberg():
     """Givens-QR Hessenberg least squares vs generic lstsq, n-independent
     small shapes m = 10..100 (~ benchmark/benchmark-hessenberg.jl:6-48)."""
@@ -717,7 +881,10 @@ ALL = {
     "chebyshev_10k": bench_chebyshev,
     "lsqr_lsmr_200kx50k": bench_lsqr_lsmr,
     "lobpcg_laplace_10k": bench_lobpcg_laplace,
+    "precond_win_2m": bench_precond_win_2m,
     "svdl_5kx3k": bench_svdl,
+    "svdl_stored_500k": bench_svdl_stored_500k,
+    "matrixmarket_big_io": bench_matrixmarket_big_io,
     "hessenberg_ls": bench_hessenberg,
     "matrixmarket": bench_matrixmarket,
     "matrixmarket_real": bench_matrixmarket_real,

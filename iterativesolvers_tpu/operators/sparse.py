@@ -866,7 +866,8 @@ class BSRMatrix(LinearOperator):
         return yb.reshape(self._shape[0], *x.shape[1:])
 
     def mv_rows(self, Xr):
-        return jax.vmap(self.mv)(Xr)
+        # k-wide amortized block gather, see ELLMatrix.mv_rows
+        return self.mv(Xr.T).T
 
     def rmv(self, x):
         bs = self.block_size

@@ -29,3 +29,11 @@ import pytest
 @pytest.fixture
 def rng():
     return np.random.default_rng(1234)
+
+
+# tests/isolated/ runs in a fresh interpreter via test_svdl_isolated.py:
+# XLA-CPU segfaults when svdl's compiles land after ~370 accumulated
+# in-process test compilations (round-4 first saw it on the
+# GradientOperator case, round 5 on dense parity — it follows the global
+# test count, not a specific case; everything passes standalone).
+collect_ignore = ["isolated"]

@@ -279,8 +279,12 @@ def main():
     _gplan = panel_mgs_plan(n, jnp.float32, jnp.bfloat16)
     _rowbuf = bool(_gplan) and _gplan["mode"] == "rowbuf"
     row_passes = (m_r + 1) / 2 if _rowbuf else (m_r + 1)
-    g_passes = row_passes + 3 + 2 + 1.2
-    g_roofline_iter_time = g_passes * 4 * n / bw
+    # TARGET roofline: pinned to the CANONICAL MGS formulation (m+1 f32
+    # panel passes) so vs_baseline stays comparable across rounds — the
+    # single-pass rowbuf sweep and the bf16 panels are algorithmic byte
+    # savings and show up as vs_baseline gains, not a moving target.
+    g_passes_canon = (m_r + 1) + 3 + 2 + 1.2
+    g_roofline_iter_time = g_passes_canon * 4 * n / bw
     g_frac = g_roofline_iter_time / g_iter_time
     g_target_nnz_s = 0.70 * nnz / g_roofline_iter_time
     # byte-true fraction of the headline: panel passes at bf16 width (the

@@ -76,8 +76,20 @@ def main():
         return Ah.solution_transform(
             its.cg(Ah, bhat, reltol=reltol, maxiter=mi, chunk=chunk)), None
 
+    Rr = its.RBReducedSystem.from_dia(A, side, 3)
+
+    def red_solve(bb, mi, log, chunk=64):
+        bbh, br = Rr.reduce_rhs(bb)
+        if log:
+            xb, h = its.cg(Rr, bbh, reltol=reltol, maxiter=mi, log=True,
+                           chunk=chunk)
+            return Rr.expand_solution(xb, br), h
+        return Rr.expand_solution(
+            its.cg(Rr, bbh, reltol=reltol, maxiter=mi, chunk=chunk)), None
+
     legs = [("none", mk({}, 256)), ("jacobi", mk({"Pl": Pj}, 256)),
-            ("rbic", mk({"Pl": Prb}, 32)), ("eisenstat", eis_solve)]
+            ("rbic", mk({"Pl": Prb}, 32)), ("eisenstat", eis_solve),
+            ("rb_reduced", red_solve)]
 
     # converged solves (also warms every cache) + true residuals
     rows = {}

@@ -26,6 +26,7 @@ from .operators.preconditioners import (
     RedBlackICPreconditioner,
     as_preconditioner,
 )
+from .operators.rb_reduce import RBReducedSystem
 from .operators.stencil import (
     GradientOperator,
     StencilOperator,

@@ -67,18 +67,34 @@ def hessenberg_lstsq(H, rhs, k=None, method: str = "auto"):
         # rows beyond k+1 of H[:, :k] are structurally zero (Hessenberg with
         # zero columns >= k), so they never influence y; mask rhs there so
         # they don't pollute the residual either.
-        row_mask = jnp.arange(H.shape[0]) <= k
-        rhs_m = jnp.where(row_mask, rhs, 0)
-        Q, R = jnp.linalg.qr(H, mode="reduced")
+        full = isinstance(k, int) and k == m  # static: no masking at all
+        if full:
+            rhs_m = rhs
+        else:
+            row_mask = jnp.arange(H.shape[0]) <= k
+            rhs_m = jnp.where(row_mask, rhs, 0)
+        # ONE Q-free QR of the augmented [H | rhs]: column m of R is
+        # Q^H rhs, and the rows >= k of that column hold the least-squares
+        # residual components — no Q materialization, no H @ y matvec.
+        # Any sign convention of R works (same orthogonal transform on
+        # both sides; the residual is read as a norm).
+        Raug = jnp.linalg.qr(jnp.concatenate([H, rhs_m[:, None]], axis=1),
+                             mode="r")
+        R = Raug[:m, :m]
+        g_full = Raug[:, m]
+        if full:
+            y = jax.scipy.linalg.solve_triangular(R, g_full[:m],
+                                                  lower=False)
+            return y, jnp.abs(g_full[m])
         # columns >= k of H are zero, hence so are those of R (incl. the
-        # diagonal); put 1s there and zero the matching rhs rows so the
+        # diagonal); put 1s there and zero the matching g rows so the
         # static-shape triangular solve returns exact y[:k] and y[k:] = 0
         col_act = jnp.arange(m) < k
         R = R + jnp.diag(jnp.where(col_act, 0, 1).astype(R.dtype))
-        g = jnp.where(col_act, Q.conj().T @ rhs_m, 0)
+        g = jnp.where(col_act, g_full[:m], 0)
         y = jax.scipy.linalg.solve_triangular(R, g, lower=False)
-        r = rhs_m - H @ y
-        residual = jnp.sqrt(jnp.real(jnp.vdot(r, r)))  # real, like |g[k]|
+        tail = jnp.where(jnp.arange(g_full.shape[0]) >= k, g_full, 0)
+        residual = jnp.sqrt(jnp.real(jnp.vdot(tail, tail)))
         return y, residual
     if method != "givens":
         raise ValueError(f"unknown method {method!r}")

@@ -424,3 +424,86 @@ def test_eisenstat_cuts_iterations_vs_jacobi():
     assert he.iters < hj.iters, (he.iters, hj.iters)
     r = np.asarray(A.mv(x)) - 1.0
     assert np.linalg.norm(r) / np.sqrt(n) < 1e-6
+
+
+def test_rb_reduced_system_algebra_and_solve():
+    """Cyclic reduction of the RB-scaled system: the half-size operator
+    equals the black block of I - E E^T (dense check), and
+    reduce -> half-size CG -> expand solves the original system."""
+    from iterativesolvers_tpu.operators.rb_reduce import RBReducedSystem
+    from iterativesolvers_tpu.utils.fixtures import variable_diffusion
+
+    rng = np.random.default_rng(0)
+    for side, dims in ((8, 2), (6, 3)):
+        A = variable_diffusion(side, dims, contrast=100, seed=5,
+                               dtype=np.float64)
+        n = A.shape[0]
+        R = RBReducedSystem.from_dia(A, side, dims)
+        D = np.asarray(A.to_dense())
+        s = 1.0 / np.sqrt(np.diag(D))
+        At = s[:, None] * D * s[None, :]
+        # parity masks in global numbering
+        i = np.arange(n)
+        p = np.zeros(n, np.int64)
+        for k in range(dims):
+            p += (i // side**k) % side
+        red = (p % 2) == 0
+        E = np.where(~red[:, None] & red[None, :], At, 0.0)
+        Ahat = np.eye(n) - E @ E.T           # black-block Schur system
+        # compact black ordering == global order of black elements
+        bidx = i[~red]
+        v = rng.standard_normal(n)
+        _, vb = R.split(jnp.asarray(v))
+        np.testing.assert_allclose(np.asarray(vb), v[bidx], atol=0)
+        # mv equality on the black block
+        out = np.asarray(R.mv(jnp.asarray(v[bidx])))
+        ref = (Ahat @ np.where(red, 0, v))[bidx]
+        np.testing.assert_allclose(out, ref, atol=1e-12)
+        # split/merge roundtrip
+        r_, b_ = R.split(jnp.asarray(v))
+        np.testing.assert_allclose(np.asarray(R.merge(r_, b_)), v, atol=0)
+        # end-to-end solve
+        b = rng.standard_normal(n)
+        bb, br = R.reduce_rhs(jnp.asarray(b))
+        xb = its.cg(R, bb, reltol=1e-13, maxiter=2000)
+        x = R.expand_solution(xb, br)
+        np.testing.assert_allclose(np.asarray(x), np.linalg.solve(D, b),
+                                   rtol=1e-8, atol=1e-9)
+
+
+def test_rb_reduced_matches_eisenstat_iterations():
+    """The reduced half-size CG takes (about) the same iteration count as
+    full-space Eisenstat CG (same preconditioned spectrum on the black
+    block; red rows are identity) while touching half the data."""
+    from iterativesolvers_tpu.operators.preconditioners import (
+        EisenstatSSOROperator,
+    )
+    from iterativesolvers_tpu.operators.rb_reduce import RBReducedSystem
+    from iterativesolvers_tpu.utils.fixtures import variable_diffusion
+
+    side, dims = 24, 2
+    A = variable_diffusion(side, dims, contrast=1e4, seed=1,
+                           dtype=np.float64)
+    n = A.shape[0]
+    b = jnp.ones(n)
+    Ah = EisenstatSSOROperator.from_dia(A, side, dims)
+    _, he = its.cg(Ah, Ah.rhs_transform(b), reltol=1e-9, maxiter=3000,
+                   log=True)
+    R = RBReducedSystem.from_dia(A, side, dims)
+    bb, br = R.reduce_rhs(b)
+    xb, hr = its.cg(R, bb, reltol=1e-9, maxiter=3000, log=True)
+    assert he.isconverged and hr.isconverged
+    assert abs(hr.iters - he.iters) <= max(3, 0.2 * he.iters), (
+        hr.iters, he.iters)
+    x = R.expand_solution(xb, br)
+    r = np.asarray(A.mv(x)) - 1.0
+    assert np.linalg.norm(r) / np.sqrt(n) < 1e-7
+
+
+def test_rb_reduced_guards():
+    from iterativesolvers_tpu.operators.rb_reduce import RBReducedSystem
+    from iterativesolvers_tpu.utils.fixtures import variable_diffusion
+
+    with pytest.raises(ValueError, match="even side"):
+        RBReducedSystem.from_dia(
+            variable_diffusion(9, 2, dtype=np.float64), 9, 2)

@@ -459,7 +459,19 @@ def bench_precond_win_2m():
         return Ah.solution_transform(
             its.cg(Ah, bh, reltol=1e-5, maxiter=20000, chunk=32))
 
-    legs = (("none", s_none), ("jacobi", s_jac), ("eisenstat", s_eis))
+    R = its.RBReducedSystem.from_dia(A, side, 3)
+
+    def s_red(bb, log=False):
+        bbh, br = R.reduce_rhs(bb)
+        if log:
+            xb, h = its.cg(R, bbh, reltol=1e-5, maxiter=20000, chunk=64,
+                           log=True)
+            return R.expand_solution(xb, br), h
+        return R.expand_solution(
+            its.cg(R, bbh, reltol=1e-5, maxiter=20000, chunk=64), br)
+
+    legs = (("none", s_none), ("jacobi", s_jac), ("eisenstat", s_eis),
+            ("rb_reduced", s_red))
     detail = {}
     for tag, s in legs:
         x, h = s(b, log=True)
@@ -480,9 +492,9 @@ def bench_precond_win_2m():
         detail[tag]["wall_s"] = round(walls[tag], 4)
         detail[tag]["speedup_vs_none"] = round(
             walls["none"] / walls[tag], 2)
-    win = walls["eisenstat"] < walls["none"]
-    return dict(wall_s=walls["eisenstat"],
-                iters=detail["eisenstat"]["iters"],
+    win = walls["rb_reduced"] < walls["none"]
+    return dict(wall_s=walls["rb_reduced"],
+                iters=detail["rb_reduced"]["iters"],
                 converged=all(v["conv"] for v in detail.values()) and win,
                 detail=detail)
 

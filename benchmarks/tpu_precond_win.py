@@ -85,7 +85,8 @@ def main():
                            chunk=chunk)
             return Rr.expand_solution(xb, br), h
         return Rr.expand_solution(
-            its.cg(Rr, bbh, reltol=reltol, maxiter=mi, chunk=chunk)), None
+            its.cg(Rr, bbh, reltol=reltol, maxiter=mi, chunk=chunk),
+            br), None
 
     legs = [("none", mk({}, 256)), ("jacobi", mk({"Pl": Pj}, 256)),
             ("rbic", mk({"Pl": Prb}, 32)), ("eisenstat", eis_solve),

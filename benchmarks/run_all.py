@@ -554,17 +554,21 @@ def bench_svdl_stored_500k():
 
 
 def bench_matrixmarket_big_io():
-    """~50 MB MatrixMarket round-trip at 1M rows (VERDICT r4 item 8:
-    bigger generated corpus): write the 9-band variable-coefficient FD
-    matrix (1024^2 rows, ~9.4M nnz) to .mtx once, parse it with the native
-    C++ reader, auto_format (expect DIA), and CG-solve."""
+    """~190 MB MatrixMarket round-trip at 2.1M rows (VERDICT r4 item 8:
+    bigger generated corpus): write the 3-D variable-coefficient FD matrix
+    (128^3 rows, ~14.5M nnz) to .mtx once, parse it with the native C++
+    reader, auto_format (expect DIA), and solve via the RB reduced system.
+    (A 1024^2 2-D variant was tried first: its kappa ~ 1e5 x contrast puts
+    the f32 attainable true residual at ~1e-1 — recurrence-converged but
+    above any honest bar; the 3-D grid at the same scale is ~100x better
+    conditioned.)"""
     import jax.numpy as jnp
 
     import iterativesolvers_tpu as its
     from iterativesolvers_tpu.utils.fixtures import variable_diffusion
 
-    side = 1024
-    A0 = variable_diffusion(side, 2, contrast=100.0, smooth=1, seed=3,
+    side = 128
+    A0 = variable_diffusion(side, 3, contrast=100.0, smooth=1, seed=3,
                             dtype=np.float32)
     path = "/tmp/its_big_vc.mtx"
     csr = A0.to_csr()
@@ -586,12 +590,10 @@ def bench_matrixmarket_big_io():
     fmt = type(op).__name__
     n = M.shape[0]
     b = jnp.ones((n,), jnp.float32)
-    # unpreconditioned CG cannot converge this 1M-row 2-D grid in a sane
-    # budget (measured rel 0.20 after 2000 iters); the round-trip solve
-    # rides the RB cyclic-reduction system built FROM THE PARSED DIA —
-    # half-size CG at ~3x fewer iterations.  Bar 5e-2: f32 attainable
-    # envelope at kappa ~ 1e5 x contrast on this grid.
-    R = its.RBReducedSystem.from_dia(op, side, 2)
+    # the round-trip solve rides the RB cyclic-reduction system built FROM
+    # THE PARSED DIA — half-size CG at ~3x fewer iterations than
+    # unpreconditioned.  Bar 1e-2: f32 envelope at this 3-D kappa.
+    R = its.RBReducedSystem.from_dia(op, side, 3)
     bb, br = R.reduce_rhs(b)
     xb, h = its.cg(R, bb, reltol=1e-4, maxiter=20000, chunk=64, log=True)
     x = R.expand_solution(xb, br)
@@ -604,7 +606,7 @@ def bench_matrixmarket_big_io():
 
     t, _ = _timeit(lambda r: solve(_shift(b, r)), reps=2)
     return dict(wall_s=t, iters=h.iters,
-                converged=bool(h.isconverged) and rel <= 5e-2,
+                converged=bool(h.isconverged) and rel <= 1e-2,
                 detail=dict(mtx_mb=round(sz_mb, 1), nnz=int(vals.size),
                             parse_s=round(t_parse, 2),
                             write_s=round(t_write, 2),

@@ -239,6 +239,53 @@ class RBReducedSystem(LinearOperator):
         xr = br - self.to_red(xb)
         return self.merge(self.s_red * xr, self.s_black * xb)
 
+    # ---------------- explicit Schur DIA form ----------------
+
+    def to_dia(self):
+        """The reduced black system ``(I - E E^T)_bb`` as an explicit
+        DIAMatrix on the compact index space (~25 diagonals: pairwise sums
+        of the two 7-offset stream sets).
+
+        Single-chip the two-pass form (:meth:`mv`) is cheaper (18 vs ~27
+        half-length streams); the DIA form exists for DISTRIBUTION — it
+        drops straight into ``parallel.HaloDIAOperator`` /
+        ``shard_dia``, so the flagship preconditioned solve runs on a
+        device mesh with the existing halo machinery and zero new
+        communication code (see tests/test_parallel.py)."""
+        from .sparse import DIAMatrix
+
+        nh = self.nh
+        acc = {}
+
+        def st_host(x):
+            return np.asarray(x, np.float64)
+
+        # (E E^T)_bb[c, c+d] = sum_{o1+o2=d} sb_o1[c] * sr_o2[c + o1]
+        for o1, cb in zip(self.sb_offsets, self.sb_streams):
+            cbh = st_host(cb)
+            for o2, cr in zip(self.sr_offsets, self.sr_streams):
+                crh = st_host(cr)
+                sh = np.zeros(nh)
+                if o1 >= 0:
+                    sh[: nh - o1] = crh[o1:]
+                else:
+                    sh[-o1:] = crh[: nh + o1]
+                d = int(o1 + o2)
+                acc[d] = acc.get(d, np.zeros(nh)) + cbh * sh
+        offsets = sorted(acc)
+        dt = np.dtype(self.dtype)
+        data = []
+        rows = np.arange(nh)
+        for d in offsets:
+            v = -acc[d]
+            if d == 0:
+                v = v + 1.0
+            # structural zeros where the column falls off the matrix — the
+            # halo operators rely on this to make wrap-around reads inert
+            v = np.where((rows + d >= 0) & (rows + d < nh), v, 0.0)
+            data.append(v.astype(dt))
+        return DIAMatrix(tuple(data), tuple(offsets), (nh, nh))
+
     # ---------------- pytree ----------------
 
     def tree_flatten(self):

@@ -109,8 +109,6 @@ class RBReducedSystem(LinearOperator):
         half = i // 2
         # red-compact and black-compact flat indices coincide with `half`
         # (each x-pair holds exactly one red and one black element)
-        planes = n // (side * side) if dims >= 2 else 1
-        rows = side if dims >= 2 else 1
         if dims == 1:
             shape3 = (1, 1, side)
         elif dims == 2:

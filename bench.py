@@ -317,6 +317,13 @@ def main():
             best = min(best, time.perf_counter() - t0)
         return best
 
+    # NOTE: this times the XLA fused stencil mv_dot as the SpMV PROXY; the
+    # headline iteration actually runs the panel-native Pallas SpMV
+    # (stencil_panel_mv), which is cheaper (no flat materialization) — so
+    # orth_share is an UPPER bound on the orthogonalization fraction.  The
+    # decisive orthogonalization number is the in-session rowbuf-vs-chunk
+    # A/B (benchmarks/tpu_gmres_rowbuf_ab.py): the panel-pass halving
+    # saved 273 us/iter of the r4 1073.
     t_mv = max((mv_time(64) - mv_time(16)) / 48, 1e-9)
     orth_share = max(0.0, 1.0 - t_mv / g_iter_time)
 
@@ -337,8 +344,8 @@ def main():
             "us_per_iter_dia_int8": round(dt_g_dia8 / iters_g * 1e6, 1),
             "panel_dtype_headline": "bfloat16 (library default at this size)",
             "us_per_iter_f32_panel_stencil": round(g32_iter_time * 1e6, 1),
-            "us_per_spmv": round(t_mv * 1e6, 1),
-            "orthogonalization_share": round(orth_share, 3),
+            "us_per_spmv_xla_proxy": round(t_mv * 1e6, 1),
+            "orthogonalization_share_upper_bound": round(orth_share, 3),
             "frac_hbm_roofline": round(g_frac, 4),
             "frac_hbm_roofline_bytes_true": round(g_frac_true, 4),
             "panel_mgs_mode": "rowbuf" if _rowbuf else "chunk",

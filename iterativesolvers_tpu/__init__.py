@@ -45,7 +45,7 @@ from .operators.sparse import (
     values_representable,
 )
 from .solvers.bicgstabl import bicgstabl, bicgstabl_iterator
-from .solvers.block_cg import block_cg
+from .solvers.block_cg import block_cg, block_cg_iterator
 from .solvers.cg import cg, cg_iterator
 from .solvers.chebyshev import chebyshev, chebyshev_iterator
 from .solvers.gmres import gmres, gmres_iterator

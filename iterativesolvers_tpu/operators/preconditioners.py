@@ -644,6 +644,10 @@ class EisenstatSSOROperator(LinearOperator):
             if -o not in by_off:
                 raise ValueError(f"offset {o} has no symmetric partner")
             c = by_off[o].astype(s.dtype)
+            c_T = jnp.roll(by_off[-o], -o)   # A[i+o, i] laid onto row i
+            if not bool(jnp.allclose(jnp.where(c != 0, c_T, 0), c,
+                                     rtol=1e-6, atol=0)):
+                raise ValueError("DIA matrix is not symmetric")
             s_nb = jax.lax.dynamic_slice_in_dim(spad, pad + o, n)
             terms.append((int(o), abs(int(o)), side))
             mcs.append(c * s * s_nb)

@@ -100,6 +100,14 @@ class RBReducedSystem(LinearOperator):
         center = by_off[0].astype(np.float64)
         if (center <= 0).any():
             raise ZeroDivisionError("non-positive diagonal")
+        for o in offs:
+            if -o not in by_off:
+                raise ValueError(f"offset {o} has no symmetric partner")
+            c = by_off[o]
+            c_T = np.roll(by_off[-o], -o)    # A[i+o, i] laid onto row i
+            if not np.allclose(np.where(c != 0, c_T, 0), c, rtol=1e-6,
+                               atol=0):
+                raise ValueError("DIA matrix is not symmetric")
         s = 1.0 / np.sqrt(center)
 
         par = _grid_parity(side, dims)

@@ -31,9 +31,14 @@ import jax.numpy as jnp
 from ..operators.linear_operator import as_operator
 from ..operators.preconditioners import as_preconditioner
 from ..utils.dtypes import real_dtype, solve_dtype
-from .common import resolve_tols, run_chunked, with_highest_precision
+from .common import (
+    SolverIterator,
+    resolve_tols,
+    run_chunked,
+    with_highest_precision,
+)
 
-__all__ = ["block_cg"]
+__all__ = ["block_cg", "block_cg_iterator"]
 
 
 class BlockCGState(NamedTuple):
@@ -161,3 +166,37 @@ def block_cg(
     history.data["converged_per_rhs"] = np.asarray(
         final.residual <= final.tol)
     return X, history
+
+
+def block_cg_iterator(
+    A,
+    B,
+    *,
+    x0=None,
+    Pl=None,
+    abstol: float | None = None,
+    reltol: float | None = None,
+    maxiter: int | None = None,
+) -> SolverIterator:
+    """Eager block-CG iterator (iterator-protocol uniformity,
+    docs/iterators.md): yields the (k,) per-column residual norms each
+    iteration; ``.x`` holds the (k, n) row-panel iterate."""
+    B = jnp.asarray(B)
+    if B.ndim != 2:
+        raise ValueError("block_cg_iterator expects B of shape (n, k)")
+    op = as_operator(A, B[:, 0])
+    Pl = as_preconditioner(Pl)
+    n, k = B.shape
+    maxiter = int(maxiter if maxiter is not None else n)
+    dtype = solve_dtype(op.dtype, B.dtype)
+    Br = B.T.astype(dtype)
+    Xr = (jnp.zeros_like(Br) if x0 is None
+          else jnp.asarray(x0).T.astype(dtype))
+    reltol_, abstol_ = resolve_tols(dtype, reltol, abstol)
+    state0 = _block_cg_init(op, Br, Xr, reltol_, abstol_, maxiter)
+    return SolverIterator(
+        state0,
+        step=lambda s: _block_cg_step(op, Pl, s, maxiter),
+        done=lambda s: _block_cg_done(s, maxiter),
+        extract=lambda s: s.residual,
+    )

@@ -166,3 +166,22 @@ def test_svdl_iterator_checkpoint_matches_classic(rng):
     vals, _fact = its.svdl(A, nsv=nsv, v0=v0, maxiter=150)
     np.testing.assert_allclose(np.asarray(it2.x), np.asarray(vals),
                                rtol=1e-8)
+
+
+def test_block_cg_iterator_matches_solver():
+    import jax.numpy as jnp
+    import numpy as np
+
+    from iterativesolvers_tpu import block_cg, block_cg_iterator
+    from iterativesolvers_tpu.utils.fixtures import laplace_dia
+
+    A = laplace_dia(10, 2)
+    n = A.shape[0]
+    B = jnp.asarray(np.random.default_rng(2).standard_normal((n, 3)))
+    it = block_cg_iterator(A, B, reltol=1e-10, maxiter=400)
+    last = None
+    for last in it:
+        pass
+    X = block_cg(A, B, reltol=1e-10, maxiter=400)
+    np.testing.assert_allclose(np.asarray(it.x.T), np.asarray(X), atol=1e-9)
+    assert np.all(np.asarray(last) >= 0)

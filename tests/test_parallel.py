@@ -512,3 +512,17 @@ def test_rb_reduced_to_dia_and_mesh_solve(mesh):
     x = R.expand_solution(jnp.asarray(np.asarray(xb_mesh)), br)
     r = np.asarray(A.mv(x)) - 1.0
     assert np.linalg.norm(r) / np.sqrt(A.shape[0]) < 1e-9
+
+
+def test_block_cg_on_halo_operator(mesh):
+    """Multi-RHS batched CG rides the halo operators' mv_rows (block halo
+    exchange) — distributed block solves with zero new code."""
+    A = laplace_dia(16, 2)
+    n = A.shape[0]
+    op = HaloDIAOperator(A, mesh)
+    rng = np.random.default_rng(6)
+    B = jnp.asarray(rng.standard_normal((n, 4)))
+    X, h = its.block_cg(op, B, reltol=1e-10, maxiter=600, log=True)
+    assert h.isconverged
+    Xs = its.block_cg(A, B, reltol=1e-10, maxiter=600)
+    np.testing.assert_allclose(np.asarray(X), np.asarray(Xs), atol=1e-8)

@@ -507,3 +507,21 @@ def test_rb_reduced_guards():
     with pytest.raises(ValueError, match="even side"):
         RBReducedSystem.from_dia(
             variable_diffusion(9, 2, dtype=np.float64), 9, 2)
+
+
+def test_eisenstat_from_dia_guards():
+    from iterativesolvers_tpu.operators.preconditioners import (
+        EisenstatSSOROperator,
+    )
+    from iterativesolvers_tpu.operators.sparse import DIAMatrix
+    from iterativesolvers_tpu.utils.fixtures import variable_diffusion
+
+    with pytest.raises(ValueError, match="side"):
+        EisenstatSSOROperator.from_dia(
+            variable_diffusion(8, 2, dtype=np.float64), 7, 2)
+    n = 16
+    off = -np.arange(1, n + 1, dtype=np.float64)
+    bad = DIAMatrix(np.stack([np.full(n, 40.0), off,
+                              np.roll(off * 2, 1)]), (0, 1, -1), (n, n))
+    with pytest.raises(ValueError, match="not symmetric"):
+        EisenstatSSOROperator.from_dia(bad, 16, 1)

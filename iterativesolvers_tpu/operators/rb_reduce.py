@@ -202,12 +202,15 @@ class RBReducedSystem(LinearOperator):
         return jnp.stack([lane0, lane1], axis=-1).reshape(-1)
 
     def _shift_apply(self, offsets, streams, v):
+        # v: (nh,) or (nh, k) — shifts along axis 0 (the DIA.mv idiom)
         nh = self.nh
         pad = max((abs(o) for o in offsets), default=1)
-        vp = jnp.pad(v, (pad, pad))
+        vp = jnp.pad(v, ((pad, pad),) + ((0, 0),) * (v.ndim - 1))
         acc = jnp.zeros_like(v)
         for o, c in zip(offsets, streams):
-            acc = acc + c * jax.lax.dynamic_slice_in_dim(vp, pad + o, nh)
+            cc = c if v.ndim == 1 else c[:, None]
+            acc = acc + cc * jax.lax.dynamic_slice_in_dim(
+                vp, pad + o, nh, axis=0)
         return acc
 
     def to_red(self, vb):

@@ -525,3 +525,30 @@ def test_eisenstat_from_dia_guards():
                               np.roll(off * 2, 1)]), (0, 1, -1), (n, n))
     with pytest.raises(ValueError, match="not symmetric"):
         EisenstatSSOROperator.from_dia(bad, 16, 1)
+
+
+def test_rb_reduced_multi_rhs():
+    """mv on (nh, k) operands and block_cg on the reduced system."""
+    from iterativesolvers_tpu.operators.rb_reduce import RBReducedSystem
+    from iterativesolvers_tpu.utils.fixtures import variable_diffusion
+
+    side, dims = 8, 2
+    A = variable_diffusion(side, dims, contrast=50, seed=6,
+                           dtype=np.float64)
+    R = RBReducedSystem.from_dia(A, side, dims)
+    rng = np.random.default_rng(1)
+    V = jnp.asarray(rng.standard_normal((R.nh, 3)))
+    cols = np.stack([np.asarray(R.mv(V[:, j])) for j in range(3)], axis=1)
+    np.testing.assert_allclose(np.asarray(R.mv(V)), cols, atol=1e-13)
+    # two rhs through reduce -> block_cg -> expand
+    B = rng.standard_normal((A.shape[0], 2))
+    outs = []
+    parts = [R.reduce_rhs(jnp.asarray(B[:, j])) for j in range(2)]
+    BB = jnp.stack([p[0] for p in parts], axis=1)
+    XB = its.block_cg(R, BB, reltol=1e-12, maxiter=1000)
+    D = np.asarray(A.to_dense())
+    for j in range(2):
+        x = R.expand_solution(XB[:, j], parts[j][1])
+        np.testing.assert_allclose(np.asarray(x),
+                                   np.linalg.solve(D, B[:, j]),
+                                   rtol=1e-8, atol=1e-9)

@@ -526,3 +526,18 @@ def test_block_cg_on_halo_operator(mesh):
     assert h.isconverged
     Xs = its.block_cg(A, B, reltol=1e-10, maxiter=600)
     np.testing.assert_allclose(np.asarray(X), np.asarray(Xs), atol=1e-8)
+
+
+def test_dense_mesh_operator_rmv_nondivisible(mesh):
+    """Adjoint matvec of the padded DenseMeshOperator at n % D != 0."""
+    from iterativesolvers_tpu.parallel.sharded import DenseMeshOperator
+
+    n = 37
+    rng = np.random.default_rng(9)
+    A = rng.standard_normal((n, n))
+    op = DenseMeshOperator(jnp.asarray(A), mesh)
+    x = jnp.asarray(rng.standard_normal(n))
+    np.testing.assert_allclose(np.asarray(op.mv(x)), A @ np.asarray(x),
+                               atol=1e-10)
+    np.testing.assert_allclose(np.asarray(op.rmv(x)), A.T @ np.asarray(x),
+                               atol=1e-10)

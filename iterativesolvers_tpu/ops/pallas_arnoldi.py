@@ -48,6 +48,8 @@ __all__ = ["fused_arnoldi", "fused_arnoldi_plan", "stencil_panel_mv",
 
 # Tests flip this to run the kernel through the Pallas interpreter on CPU.
 _INTERPRET = False
+# Test/bench hook: force the fused MGS sweep variant ("rowbuf" | "chunk").
+_FORCE_MGS_MODE = None
 
 _LANES = 512
 _CROWS = 512                    # MGS sweep chunk = (512, 512) f32 = 1 MB
@@ -66,7 +68,7 @@ class FusedArnoldiPlan:
 
     __slots__ = ("n", "n_pad", "nrows", "nv", "nc_mgs", "chunk_rows",
                  "halo_rows", "n_chunks", "inner", "outer", "inner_idx",
-                 "outer_idx", "panel_dtype")
+                 "outer_idx", "panel_dtype", "mgs_mode")
 
     def __init__(self, **kw):
         for k, v in kw.items():
@@ -108,21 +110,29 @@ def fused_arnoldi_plan(n, terms, dtype, panel_dtype=None):
     nv = -(-n // _LANES)            # rows holding vector data
     n_chunks = -(-nv // chunk_rows)
     win_rows = chunk_rows + 2 * halo_rows + 8
-    vmem = (4 * n_pad                           # resident w accumulator
-            + 2 * pd.itemsize * win_rows * _LANES   # stencil windows
-            + 2 * pd.itemsize * _CHUNK              # MGS sweep buffers
-            + 2 * pd.itemsize * _CHUNK              # writeback staging
-            + 2 * len(inner) * chunk                # int8 mask tiles (x2:
-                                                    #   pipeline buffering)
-            + 8 * 4 * _CROWS * _LANES               # sub-tile f32 temps
-            )
-    if vmem > _VMEM_BUDGET:
+    vmem_common = (4 * n_pad                        # resident w accumulator
+                   + 2 * pd.itemsize * win_rows * _LANES  # stencil windows
+                   + 2 * pd.itemsize * _CHUNK             # writeback staging
+                   + 2 * len(inner) * chunk               # int8 mask tiles
+                                                          #   (x2: pipeline)
+                   + 8 * 4 * _CROWS * _LANES              # f32 temps
+                   )
+    # single-pass MGS sweep: 2 full-row buffers (see ops/pallas_mgs.py
+    # 'rowbuf' — each active panel row is read from HBM ONCE); falls back
+    # to the two-pass chunk pipeline when the rows do not fit VMEM
+    if vmem_common + 2 * pd.itemsize * n_pad <= _VMEM_BUDGET:
+        mgs_mode = "rowbuf"
+    elif vmem_common + 2 * pd.itemsize * _CHUNK <= _VMEM_BUDGET:
+        mgs_mode = "chunk"
+    else:
         return None
+    if _FORCE_MGS_MODE is not None:
+        mgs_mode = _FORCE_MGS_MODE
     return FusedArnoldiPlan(
         n=n, n_pad=n_pad, nrows=nrows, nv=nv, nc_mgs=n_pad // _CHUNK,
         chunk_rows=chunk_rows, halo_rows=halo_rows, n_chunks=n_chunks,
         inner=inner, outer=outer, inner_idx=inner_idx, outer_idx=outer_idx,
-        panel_dtype=pd,
+        panel_dtype=pd, mgs_mode=mgs_mode,
     )
 
 
@@ -157,8 +167,13 @@ def _flat_shift(win, s0, CR, off, f32):
 def _kernel(plan: FusedArnoldiPlan, m1, n_inner, n_outer,
             k_ref, do_ref, scal, panel_in, *rest):
     mcs = rest[:n_inner]
-    (panel_out, h_ref, nrm_ref,
-     y, vwin, buf, sbuf, acc, sem_v, sem, sem_w) = rest[n_inner:]
+    rowbuf = plan.mgs_mode == "rowbuf"
+    if rowbuf:
+        (panel_out, h_ref, nrm_ref,
+         y, vwin, bufA, bufB, sbuf, acc, sem_v, sem, sem_w) = rest[n_inner:]
+    else:
+        (panel_out, h_ref, nrm_ref,
+         y, vwin, buf, sbuf, acc, sem_v, sem, sem_w) = rest[n_inner:]
     f32 = jnp.float32
     j = pl.program_id(0)
     CR, HR, NCK = plan.chunk_rows, plan.halo_rows, plan.n_chunks
@@ -245,40 +260,82 @@ def _kernel(plan: FusedArnoldiPlan, m1, n_inner, n_outer,
     def _():
         h_ref[j] = jnp.zeros((), h_ref.dtype)
 
-    def dma(ci):
-        slot = ci % 2
-        return pltpu.make_async_copy(
-            panel_in.at[pl.ds(j * nrows + ci * _CROWS, _CROWS), :],
-            buf.at[pl.ds(slot * _CROWS, _CROWS), :],
-            sem.at[slot],
-        )
+    if rowbuf:
+        # single-pass sweep (ops/pallas_mgs.py '_kernel_rowbuf'): each
+        # active row is DMA'd once into a double-buffered full-row buffer;
+        # dot and axpy both read it from VMEM
+        def row_dma(row, bufX, slot):
+            return pltpu.make_async_copy(
+                panel_in.at[pl.ds(row * nrows, nrows), :], bufX,
+                sem.at[slot])
 
-    def sweep(compute):
-        dma(0).start()
-        for ci in range(plan.nc_mgs):
-            if ci + 1 < plan.nc_mgs:
-                dma(ci + 1).start()
-            dma(ci).wait()
-            compute(ci, buf[pl.ds((ci % 2) * _CROWS, _CROWS), :])
+        @pl.when(j == 0)
+        def _():
+            # phase 0 above has finished with panel row k; start row 0
+            row_dma(0, bufA, 0).start()
 
-    @pl.when(active)
-    def _():
-        acc[...] = jnp.zeros_like(acc)
+        def bodyr(cur, cur_slot, nxt, nxt_slot):
+            @pl.when(j + 1 <= k_ref[0])
+            def _():
+                row_dma(j + 1, nxt, nxt_slot).start()
+            pltpu.make_async_copy(
+                panel_in.at[pl.ds(j * nrows, nrows), :], cur,
+                sem.at[cur_slot]).wait()
+            acc[...] = jnp.zeros_like(acc)
+            for ci in range(plan.nc_mgs):
+                sl = pl.ds(ci * _CROWS, _CROWS)
+                acc[...] += jnp.sum(cur[sl, :].astype(acc.dtype) * y[sl, :],
+                                    axis=0, keepdims=True)
+            hj = jnp.sum(acc[...])
+            h_ref[j] = hj
+            for ci in range(plan.nc_mgs):
+                sl = pl.ds(ci * _CROWS, _CROWS)
+                y[sl, :] = y[sl, :] - hj * cur[sl, :].astype(y.dtype)
 
-        def dot_c(ci, blk):
-            yblk = y[pl.ds(ci * _CROWS, _CROWS), :]
-            acc[...] += jnp.sum(blk.astype(acc.dtype) * yblk, axis=0,
-                                keepdims=True)
+        even = (j % 2) == 0
 
-        sweep(dot_c)
-        hj = jnp.sum(acc[...])
-        h_ref[j] = hj
+        @pl.when(active & even)
+        def _():
+            bodyr(bufA, 0, bufB, 1)
 
-        def axpy_c(ci, blk):
-            sl = pl.ds(ci * _CROWS, _CROWS)
-            y[sl, :] = y[sl, :] - hj * blk.astype(y.dtype)
+        @pl.when(active & jnp.logical_not(even))
+        def _():
+            bodyr(bufB, 1, bufA, 0)
+    else:
+        def dma(ci):
+            slot = ci % 2
+            return pltpu.make_async_copy(
+                panel_in.at[pl.ds(j * nrows + ci * _CROWS, _CROWS), :],
+                buf.at[pl.ds(slot * _CROWS, _CROWS), :],
+                sem.at[slot],
+            )
 
-        sweep(axpy_c)
+        def sweep(compute):
+            dma(0).start()
+            for ci in range(plan.nc_mgs):
+                if ci + 1 < plan.nc_mgs:
+                    dma(ci + 1).start()
+                dma(ci).wait()
+                compute(ci, buf[pl.ds((ci % 2) * _CROWS, _CROWS), :])
+
+        @pl.when(active)
+        def _():
+            acc[...] = jnp.zeros_like(acc)
+
+            def dot_c(ci, blk):
+                yblk = y[pl.ds(ci * _CROWS, _CROWS), :]
+                acc[...] += jnp.sum(blk.astype(acc.dtype) * yblk, axis=0,
+                                    keepdims=True)
+
+            sweep(dot_c)
+            hj = jnp.sum(acc[...])
+            h_ref[j] = hj
+
+            def axpy_c(ci, blk):
+                sl = pl.ds(ci * _CROWS, _CROWS)
+                y[sl, :] = y[sl, :] - hj * blk.astype(y.dtype)
+
+            sweep(axpy_c)
 
     # ---------------- final phase: normalize + write panel row k+1 --------
     @pl.when(j == m1 - 1)
@@ -373,7 +430,12 @@ def fused_arnoldi(plan: FusedArnoldiPlan, V, k, do, center, inner_coeffs,
         scratch_shapes=[
             pltpu.VMEM((plan.nrows, _LANES), dtype),          # resident w
             pltpu.VMEM((2 * WR, _LANES), panel2d.dtype),      # stencil win
+        ] + ([
+            pltpu.VMEM((plan.nrows, _LANES), panel2d.dtype),  # row buf A
+            pltpu.VMEM((plan.nrows, _LANES), panel2d.dtype),  # row buf B
+        ] if plan.mgs_mode == "rowbuf" else [
             pltpu.VMEM((2 * _CROWS, _LANES), panel2d.dtype),  # MGS chunks
+        ]) + [
             pltpu.VMEM((2 * _CROWS, _LANES), panel2d.dtype),  # writeback
             pltpu.VMEM((1, _LANES), dtype),                   # dot partials
             pltpu.SemaphoreType.DMA((2,)),

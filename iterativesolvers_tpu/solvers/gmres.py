@@ -99,12 +99,17 @@ def _stencil_panel_setup(op, Pl, Pr, n, dtype, orth_method, panel_dtype=None,
 
 def _fused_setup(op, Pl, Pr, n, dtype, orth_method, panel_dtype=None,
                  force: bool = False):
-    """Dispatch for the single-launch FUSED Arnoldi kernel: f32 panels only
-    — measured head-to-head (benchmarks/fused_arnoldi_ab.py, round 3,
-    216^3): the fused kernel ties the two-kernel pipeline on f32 panels
-    (2314.9 vs 2317.9 us/iter) but loses ~1.5% on bf16 panels (1565.0 vs
-    1541.3); bf16 panels instead get the panel-native SpMV
-    (``stencil_panel_mv``) feeding ``panel_mgs`` directly."""
+    """Dispatch for the single-launch FUSED Arnoldi kernel.
+
+    f32 panels: fused ties the two-kernel pipeline (r3 A/B: 2314.9 vs
+    2317.9 us/iter) and stays on — and now gets the r5 single-pass
+    'rowbuf' sweep where the full rows fit VMEM.  bf16 panels: with the
+    r3 two-pass sweep fused lost ~1.5%; with BOTH paths on rowbuf sweeps
+    the round-5 A/B (benchmarks/tpu_fusedrowbuf_ab.py, 4 interleaved
+    pairs at 216^3) measured a statistical TIE (fused 763-801, pipeline
+    695-819 us/iter; means 776.5 vs 774.7) — the w round-trip the fusion
+    removes is hidden by DMA overlap.  bf16 keeps the simpler two-kernel
+    pipeline."""
     if panel_dtype is not None and jnp.dtype(panel_dtype) != dtype:
         return None
     return _stencil_panel_setup(op, Pl, Pr, n, dtype, orth_method,

@@ -571,3 +571,78 @@ def test_panel_mgs_modes_agree():
     np.testing.assert_array_equal(outs["rowbuf"][0], outs["chunk"][0])
     np.testing.assert_array_equal(outs["rowbuf"][1], outs["chunk"][1])
     assert outs["rowbuf"][2] == outs["chunk"][2]
+
+
+def test_fused_arnoldi_mgs_modes_agree():
+    """Fused kernel: the single-pass rowbuf sweep equals the two-pass
+    chunk sweep bit-for-bit."""
+    import iterativesolvers_tpu.ops.pallas_arnoldi as pa
+    from iterativesolvers_tpu.ops.pallas_arnoldi import (
+        fused_arnoldi, fused_arnoldi_plan,
+    )
+
+    m1, k = 5, 2
+    outs = {}
+    for mode in ("rowbuf", "chunk"):
+        old = pa._FORCE_MGS_MODE
+        pa._FORCE_MGS_MODE = mode
+        try:
+            St, plan, V, n, n_pad = _make_fused_problem(m1=m1, k=k)
+            assert plan.mgs_mode == mode
+            Vj = jnp.asarray(V.reshape(m1, n_pad // 512, 512))
+            Vp, h, nrm = fused_arnoldi(
+                plan, Vj, jnp.int32(k), jnp.int32(1), St.center,
+                [St.coeffs[i] for i in plan.inner_idx],
+                [St.coeffs[i] for i in plan.outer_idx],
+                m1, interpret=True)
+        finally:
+            pa._FORCE_MGS_MODE = old
+        outs[mode] = (np.asarray(Vp), np.asarray(h), float(nrm))
+    np.testing.assert_array_equal(outs["rowbuf"][0], outs["chunk"][0])
+    np.testing.assert_array_equal(outs["rowbuf"][1], outs["chunk"][1])
+    assert outs["rowbuf"][2] == outs["chunk"][2]
+
+
+def test_fused_arnoldi_bf16_panel():
+    """Fused kernel on a bfloat16-stored panel (the GMRES-IR headline
+    path, enabled by the r5 rowbuf sweep): f32 arithmetic against the
+    bf16 rows, matches the two-kernel pipeline (stencil_panel_mv +
+    panel_mgs) on identical inputs."""
+    from iterativesolvers_tpu.ops.pallas_arnoldi import (
+        fused_arnoldi, fused_arnoldi_plan, stencil_panel_mv,
+    )
+    from iterativesolvers_tpu.ops.pallas_mgs import mgs_pad, panel_mgs
+
+    import iterativesolvers_tpu as its
+
+    side, m1, k = 1024, 5, 2
+    St = its.laplacian(side, 2, dtype=np.float32)
+    n = St.n
+    plan = fused_arnoldi_plan(n, St.terms, jnp.float32, jnp.bfloat16)
+    assert plan is not None and plan.mgs_mode == "rowbuf"
+    n_pad = mgs_pad(n)
+    r = np.random.default_rng(11)
+    V = np.zeros((m1, n_pad), np.float32)
+    Q, _ = np.linalg.qr(r.standard_normal((n, k + 1)).astype(np.float32))
+    V[: k + 1, :n] = Q.T
+    Vb = jnp.asarray(V.reshape(m1, n_pad // 512, 512)).astype(jnp.bfloat16)
+    ic = [St.coeffs[i] for i in plan.inner_idx]
+    oc = [St.coeffs[i] for i in plan.outer_idx]
+    Vp, h, nrm = fused_arnoldi(plan, Vb, jnp.int32(k), jnp.int32(1),
+                               St.center, ic, oc, m1, interpret=True)
+    # two-kernel reference on the same bf16 panel
+    w2d = stencil_panel_mv(plan, Vb, jnp.int32(k), St.center, ic, oc, m1,
+                           interpret=True)
+    y_ref, h_ref, nrm_ref = panel_mgs(Vb, w2d, jnp.int32(k), m1, n=n,
+                                      interpret=True)
+    np.testing.assert_allclose(np.asarray(h), np.asarray(h_ref),
+                               rtol=1e-6, atol=1e-6)
+    assert abs(float(nrm) - float(nrm_ref)) <= 1e-6 * float(nrm_ref)
+    row = np.asarray(Vp)[k + 1].reshape(-1)
+    ref_row = np.asarray(y_ref.astype(jnp.bfloat16)).reshape(-1)
+    np.testing.assert_array_equal(row, ref_row)
+    # rows 0..k untouched, rows beyond k+1 zero
+    np.testing.assert_array_equal(np.asarray(Vp)[: k + 1],
+                                  np.asarray(Vb)[: k + 1])
+    assert np.abs(np.asarray(Vp)[k + 2:].astype(np.float32)).max(
+        initial=0.0) == 0.0

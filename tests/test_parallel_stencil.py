@@ -308,3 +308,21 @@ def test_nonsymmetric_krylov_on_mesh(mesh):
             np.asarray(st.mv(jnp.asarray(np.asarray(x)))) - 1.0
         ) / np.sqrt(st.n)
         assert r < 1e-7, (name, r)
+
+
+def test_gmres_dist_panel_bf16_ir_mode(mesh):
+    """Sharded-panel GMRES with bf16 panel storage (GMRES-IR on a mesh):
+    the distributed CGS2 sweeps run f32 arithmetic over the bf16 rows and
+    convergence is decided on the true residual at cycle boundaries —
+    reaches the same coarse tolerance as the f32-panel mesh solve."""
+    st = advection_diffusion_stencil(8, dtype=np.float32)
+    op = HaloStencilOperator(st, mesh)
+    b = shard_vector(jnp.ones(st.n, jnp.float32), mesh)
+    x16, h16 = its.gmres(op, b, reltol=1e-4, restart=20, maxiter=400,
+                         panel_dtype=jnp.bfloat16, log=True)
+    x32, h32 = its.gmres(op, b, reltol=1e-4, restart=20, maxiter=400,
+                         panel_dtype=None, log=True)
+    assert h16.isconverged and h32.isconverged
+    for x in (x16, x32):
+        r = np.asarray(st.mv(jnp.asarray(np.asarray(x)))) - 1.0
+        assert np.linalg.norm(r) / np.sqrt(st.n) < 1e-3
